@@ -1,0 +1,10 @@
+"""Device-mesh bootstrap and collective helpers."""
+
+from instacart_next_order_recommendation_tpu.parallel.mesh import (
+    MeshConfig,
+    build_mesh,
+    data_sharding,
+    replicated_sharding,
+)
+
+__all__ = ["MeshConfig", "build_mesh", "data_sharding", "replicated_sharding"]
