@@ -1,0 +1,133 @@
+"""Multi-head attention: Pallas TPU kernel + jnp reference.
+
+Replaces the torch attention inside sentence-transformers' BERT encoder
+(invoked from /root/reference/src/training/train_sbert.py:128-137 and
+serve_recommendations.py:195-213 via ``SentenceTransformer.encode``).
+
+Shapes: q/k/v are ``[batch, heads, seq, head_dim]``; ``mask`` is
+``[batch, seq]`` with 1 = real token. Sequences are short (<=512; default 256)
+so each (batch, head) program holds the full S x S score tile in VMEM — no
+streaming needed. Softmax runs in f32; matmuls hit the MXU via
+``preferred_element_type``.
+
+The op is differentiable: forward uses the Pallas kernel, backward recomputes
+attention with jnp (rematerialization trades FLOPs for HBM, the standard
+flash-attention trick).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+
+def _attention_math(q, k, v, mask, scale):
+    """Shared attention math (f32 softmax). q/k/v: [..., S, D]; mask: [S] bias axis."""
+    logits = (
+        jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32) * scale
+    )
+    bias = (1.0 - mask.astype(jnp.float32)) * _NEG_INF
+    logits = logits + bias
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    return jnp.einsum("...qk,...kd->...qd", probs.astype(v.dtype), v)
+
+
+def multi_head_attention_reference(
+    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array, scale: float
+) -> jax.Array:
+    """jnp oracle: [B, H, S, D] attention with key-side padding mask."""
+    return _attention_math(q, k, v, mask[:, None, None, :], scale)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    mask = mask_ref[:]  # (1, S)
+    logits = (
+        jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    logits = logits + (1.0 - mask.astype(jnp.float32)) * _NEG_INF  # broadcast keys
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret):
+    batch, heads, seq, head_dim = q.shape
+    kernel = functools.partial(_attn_kernel, scale=scale)
+    qkv_spec = pl.BlockSpec(
+        (1, 1, seq, head_dim), lambda b, h: (b, h, 0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, heads),
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((1, seq), lambda b, h: (b, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * seq * seq * head_dim,
+            bytes_accessed=4 * batch * heads * seq * head_dim * q.dtype.itemsize,
+            transcendentals=batch * heads * seq * seq,
+        ),
+        interpret=interpret,
+    )(q, k, v, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_pallas(q, k, v, mask, scale, interpret):
+    return _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret)
+
+
+def _attention_pallas_fwd(q, k, v, mask, scale, interpret):
+    out = _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret)
+    return out, (q, k, v, mask)
+
+
+def _attention_pallas_bwd(scale, interpret, residuals, g):
+    # Recompute-based backward: differentiate the jnp reference (XLA fuses it).
+    q, k, v, mask = residuals
+    dq, dk, dv = jax.vjp(
+        lambda q_, k_, v_: multi_head_attention_reference(q_, k_, v_, mask, scale), q, k, v
+    )[1](g)
+    return dq, dk, dv, None
+
+
+_attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
+
+
+def multi_head_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array, scale: float
+) -> jax.Array:
+    """Dispatching entry point; see module docstring for shapes."""
+    from instacart_next_order_recommendation_tpu.ops import pallas_interpret, use_pallas
+
+    if use_pallas():
+        return _attention_pallas(q, k, v, mask, scale, pallas_interpret())
+    return multi_head_attention_reference(q, k, v, mask, scale)

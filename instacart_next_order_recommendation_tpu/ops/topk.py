@@ -1,0 +1,152 @@
+"""Fused cosine-similarity + top-k retrieval kernel.
+
+The reference serve path computes a dense (1 x N) similarity then a FULL
+argsort of the catalog on one device
+(/root/reference/src/inference/serve_recommendations.py:213-215). The
+TPU-native design never materializes a full sort:
+
+- Pallas kernel, grid over catalog blocks: each program computes the
+  ``[B, block_n]`` similarity tile on the MXU (embeddings are L2-normalized so
+  dot product == cosine), then extracts the block-local top-k in VMEM by
+  iterative max extraction (k is small: 10-100).
+- A cheap ``lax.top_k`` merge over the ``[B, n_blocks * k]`` candidates gives
+  the exact global top-k — identical results to the reference's full sort.
+
+For a multi-device row-sharded catalog the same kernel runs per shard inside
+``shard_map`` and the merge happens after an all-gather of per-shard
+candidates (see index/sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+DEFAULT_BLOCK_N = 2048
+
+
+def cosine_topk_reference(
+    queries: jax.Array, catalog: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """jnp oracle: [B, D] x [N, D] -> top-k (scores [B, k], indices [B, k])."""
+    scores = jax.lax.dot_general(
+        queries,
+        catalog,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.top_k(scores, k)
+
+
+def _topk_block_kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref, s_scratch, *, k, block_n):
+    block_idx = pl.program_id(0)
+    start = block_idx * block_n
+    n_valid = n_valid_ref[0]
+
+    q = q_ref[:]
+    c = c_ref[:]
+    scores = jax.lax.dot_general(
+        q,
+        c,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, block_n)
+
+    b = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), dimension=1)
+    gcol = col + start
+    s_scratch[:] = jnp.where(gcol < n_valid, scores, _NEG_INF)
+
+    def extract(i, _):
+        s = s_scratch[:]
+        m = jnp.max(s, axis=1)  # (B,)
+        is_max = s == m[:, None]
+        # Tie-break to the lowest index (matches argsort-descending order).
+        amax = jnp.min(jnp.where(is_max, col, block_n), axis=1)
+        out_s_ref[:, pl.ds(i, 1)] = m[:, None]
+        out_i_ref[:, pl.ds(i, 1)] = amax[:, None] + start
+        s_scratch[:] = jnp.where(col == amax[:, None], _NEG_INF, s)
+        return 0
+
+    jax.lax.fori_loop(0, k, extract, 0)
+
+
+def cosine_topk_pallas(
+    queries: jax.Array,
+    catalog: jax.Array,
+    k: int,
+    block_n: int = DEFAULT_BLOCK_N,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k via blockwise Pallas kernel + candidate merge."""
+    b, d = queries.shape
+    n, _ = catalog.shape
+    block_n = min(block_n, max(128, 1 << (n - 1).bit_length()))
+    n_blocks = pl.cdiv(n, block_n)
+    n_padded = n_blocks * block_n
+    if n_padded != n:
+        catalog = jnp.pad(catalog, ((0, n_padded - n), (0, 0)))
+    k_local = min(k, block_n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1, k_local), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, k_local), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+    )
+
+    def kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref, s_scratch):
+        _topk_block_kernel(
+            n_valid_ref,
+            q_ref,
+            c_ref,
+            out_s_ref.at[:, 0, :],
+            out_i_ref.at[:, 0, :],
+            s_scratch,
+            k=k_local,
+            block_n=block_n,
+        )
+
+    cand_s, cand_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_blocks, k_local), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_blocks, k_local), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_padded * d,
+            bytes_accessed=(n_padded * d + b * d) * catalog.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.array([n], dtype=jnp.int32), queries, catalog)
+
+    cand_s = cand_s.reshape(b, n_blocks * k_local)
+    cand_i = cand_i.reshape(b, n_blocks * k_local)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s, top_i
+
+
+def cosine_topk(queries: jax.Array, catalog: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Dispatching entry point: exact brute-force cosine top-k."""
+    from instacart_next_order_recommendation_tpu.ops import pallas_interpret, use_pallas
+
+    if use_pallas() and k <= DEFAULT_BLOCK_N:
+        return cosine_topk_pallas(queries, catalog, k, interpret=pallas_interpret())
+    return cosine_topk_reference(queries, catalog, k)

@@ -1,18 +1,18 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-The env vars must be set before the first ``import jax`` anywhere in the test
-process, so this conftest sets them at import time (pytest imports conftest
-before collecting test modules).
+This environment's site hook pins JAX_PLATFORMS to the TPU plugin, so env vars
+alone don't switch the backend — the config updates below must run before the
+first backend use (pytest imports conftest before collecting test modules).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-existing = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in existing:
-    os.environ["XLA_FLAGS"] = (
-        existing + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ.setdefault("ITOR_NUM_CPU_DEVICES", "8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", int(os.environ["ITOR_NUM_CPU_DEVICES"]))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
