@@ -1,0 +1,138 @@
+"""Synthetic Instacart-schema data generator.
+
+Produces the six Kaggle CSVs (products/aisles/departments/orders/
+order_products__{prior,train}) with a learnable structure: each user is
+assigned a small set of preferred aisles and draws basket products mostly from
+them, so a two-tower model trained on the generated pairs genuinely improves
+Recall@k over an untrained tower. Used by tests and benches (the real dataset
+is not redistributable).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+_ADJECTIVES = [
+    "Organic", "Fresh", "Whole", "Natural", "Classic", "Golden", "Premium",
+    "Sweet", "Crunchy", "Creamy", "Roasted", "Smoked", "Wild", "Baked", "Frozen",
+    "Spicy", "Zesty", "Light", "Dark", "Honey",
+]
+_NOUNS = [
+    "Milk", "Bread", "Banana", "Yogurt", "Cheese", "Chicken", "Broccoli",
+    "Rice", "Coffee", "Granola", "Pasta", "Sauce", "Parmesan", "Apple",
+    "Spinach", "Salmon", "Beans", "Cereal", "Juice", "Butter", "Eggs",
+    "Tortilla", "Hummus", "Avocado", "Berries", "Oats", "Tea", "Chocolate",
+    "Crackers", "Soup",
+]
+_AISLES = [
+    "fresh fruits", "fresh vegetables", "packaged cheese", "milk", "yogurt",
+    "bread", "cereal", "coffee", "pasta sauce", "frozen meals", "soy lactosefree",
+    "baking ingredients", "canned meals beans", "eggs", "juice nectars",
+]
+_DEPARTMENTS = [
+    "produce", "dairy eggs", "bakery", "beverages", "pantry", "frozen",
+    "canned goods", "breakfast", "snacks", "meat seafood",
+]
+
+
+def generate_instacart_csvs(
+    data_dir: Path | str,
+    n_users: int = 200,
+    n_products: int = 400,
+    orders_per_user: tuple[int, int] = (4, 9),
+    basket_size: tuple[int, int] = (3, 10),
+    aisles_per_user: int = 3,
+    seed: int = 0,
+) -> Path:
+    """Write synthetic CSVs to ``data_dir``; returns the dir."""
+    rng = np.random.default_rng(seed)
+    data_dir = Path(data_dir)
+    data_dir.mkdir(parents=True, exist_ok=True)
+
+    n_aisles = len(_AISLES)
+    n_depts = len(_DEPARTMENTS)
+    aisles = pd.DataFrame({"aisle_id": np.arange(1, n_aisles + 1), "aisle": _AISLES})
+    departments = pd.DataFrame(
+        {"department_id": np.arange(1, n_depts + 1), "department": _DEPARTMENTS}
+    )
+
+    names = []
+    seen: set[str] = set()
+    while len(names) < n_products:
+        name = f"{rng.choice(_ADJECTIVES)} {rng.choice(_NOUNS)}"
+        if name in seen:
+            name = f"{name} {len(names)}"
+        seen.add(name)
+        names.append(name)
+    product_aisle = rng.integers(1, n_aisles + 1, size=n_products)
+    aisle_to_dept = rng.integers(1, n_depts + 1, size=n_aisles + 1)
+    products = pd.DataFrame(
+        {
+            "product_id": np.arange(1, n_products + 1),
+            "product_name": names,
+            "aisle_id": product_aisle,
+            "department_id": aisle_to_dept[product_aisle],
+        }
+    )
+
+    # Aisle-affinity structure: products grouped by aisle, users prefer a few.
+    aisle_products = {
+        a: products.loc[products["aisle_id"] == a, "product_id"].to_numpy()
+        for a in range(1, n_aisles + 1)
+    }
+
+    orders_rows = []
+    prior_rows = []
+    train_rows = []
+    order_id = 0
+    for user_id in range(1, n_users + 1):
+        pref = rng.choice(np.arange(1, n_aisles + 1), size=aisles_per_user, replace=False)
+        pref_pool = np.concatenate([aisle_products[a] for a in pref if len(aisle_products[a])])
+        if len(pref_pool) == 0:
+            pref_pool = products["product_id"].to_numpy()
+        n_orders = int(rng.integers(*orders_per_user))
+        for order_number in range(1, n_orders + 1):
+            order_id += 1
+            is_last = order_number == n_orders
+            days = np.nan if order_number == 1 else float(rng.integers(1, 30))
+            orders_rows.append(
+                {
+                    "order_id": order_id,
+                    "user_id": user_id,
+                    "eval_set": "train" if is_last else "prior",
+                    "order_number": order_number,
+                    "order_dow": int(rng.integers(0, 7)),
+                    "order_hour_of_day": int(rng.integers(0, 24)),
+                    "days_since_prior_order": days,
+                }
+            )
+            n_items = int(rng.integers(*basket_size))
+            n_pref = max(1, int(round(n_items * 0.8)))
+            pool_pref = rng.choice(pref_pool, size=min(n_pref, len(pref_pool)), replace=False)
+            n_rand = n_items - len(pool_pref)
+            pool_rand = rng.choice(
+                products["product_id"].to_numpy(), size=max(0, n_rand), replace=False
+            )
+            basket = np.concatenate([pool_pref, pool_rand])
+            basket = pd.unique(basket)
+            target = train_rows if is_last else prior_rows
+            for pos, pid in enumerate(basket, start=1):
+                target.append(
+                    {
+                        "order_id": order_id,
+                        "product_id": int(pid),
+                        "add_to_cart_order": pos,
+                        "reordered": int(rng.random() < 0.5),
+                    }
+                )
+
+    products.to_csv(data_dir / "products.csv", index=False)
+    aisles.to_csv(data_dir / "aisles.csv", index=False)
+    departments.to_csv(data_dir / "departments.csv", index=False)
+    pd.DataFrame(orders_rows).to_csv(data_dir / "orders.csv", index=False)
+    pd.DataFrame(prior_rows).to_csv(data_dir / "order_products__prior.csv", index=False)
+    pd.DataFrame(train_rows).to_csv(data_dir / "order_products__train.csv", index=False)
+    return data_dir
