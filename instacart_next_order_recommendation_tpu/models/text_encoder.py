@@ -1,0 +1,85 @@
+"""TextEncoder: batched text -> unit-norm embeddings with static shapes.
+
+The TPU-native analog of ``SentenceTransformer.encode(...,
+normalize_embeddings=True)`` used throughout the reference
+(/root/reference/src/inference/serve_recommendations.py:195-213,
+src/baselines/content_based.py:30-36). Batches are padded to length buckets
+and a fixed batch size so each (seq_len, batch) shape compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instacart_next_order_recommendation_tpu.models.encoder import (
+    Params,
+    TowerConfig,
+    encode,
+)
+from instacart_next_order_recommendation_tpu.tokenizer import WordPieceTokenizer
+
+
+class TextEncoder:
+    """Callable tower over text: tokenization + jitted forward + normalization."""
+
+    def __init__(
+        self,
+        params: Params,
+        config: TowerConfig,
+        tokenizer: WordPieceTokenizer,
+        max_seq_length: int | None = None,
+    ):
+        self.params = params
+        self.config = config
+        self.tokenizer = tokenizer
+        self.max_seq_length = max_seq_length or config.max_seq_length
+        self._jitted = jax.jit(partial(encode, config=self.config))
+
+    @classmethod
+    def load(cls, model_dir: Path | str, max_seq_length: int | None = None) -> "TextEncoder":
+        from instacart_next_order_recommendation_tpu.models.checkpoint import load_tower
+
+        params, config, tokenizer = load_tower(model_dir)
+        if tokenizer is None:
+            raise FileNotFoundError(f"No vocab.txt in {model_dir}")
+        return cls(params, config, tokenizer, max_seq_length)
+
+    def encode(
+        self,
+        texts: Sequence[str],
+        batch_size: int = 64,
+        show_progress: bool = False,
+    ) -> np.ndarray:
+        """Encode texts to a [len(texts), hidden] float32 unit-norm matrix."""
+        out = np.empty((len(texts), self.config.hidden_size), dtype=np.float32)
+        n_batches = (len(texts) + batch_size - 1) // batch_size
+        for bi in range(n_batches):
+            lo, hi = bi * batch_size, min((bi + 1) * batch_size, len(texts))
+            chunk = texts[lo:hi]
+            ids, mask = self.tokenizer.encode_batch(
+                chunk, max_seq_length=self.max_seq_length, pad_batch_to=batch_size
+            )
+            emb = self._jitted(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            out[lo:hi] = np.asarray(emb[: hi - lo], dtype=np.float32)
+            if show_progress and (bi % 50 == 0 or bi == n_batches - 1):
+                print(f"\r  encode {hi}/{len(texts)}", end="", flush=True)
+        if show_progress:
+            print()
+        return out
+
+    def with_params(self, params: Params) -> "TextEncoder":
+        """Cheap view with updated params (training eval reuses the jit cache)."""
+        new = TextEncoder.__new__(TextEncoder)
+        new.params = params
+        new.config = self.config
+        new.tokenizer = self.tokenizer
+        new.max_seq_length = self.max_seq_length
+        new._jitted = self._jitted
+        return new

@@ -1,0 +1,410 @@
+"""Two-tower contrastive trainer.
+
+TPU-native rebuild of the reference training pipeline
+(/root/reference/src/training/train_sbert.py): loads the processed (anchor,
+positive) datasets and IR artifacts, trains the shared tower with
+MultipleNegativesRankingLoss (scale 30), AdamW + cosine schedule with 10%
+warmup, NO_DUPLICATES batching with drop_last, per-epoch IR evaluation, epoch
+checkpoints with keep-2 retention, best-by-NDCG@10 selection, and a
+``final/`` export.
+
+Parallelism: one ``jax.jit`` train step over the global mesh. The batch is
+sharded over the ``data`` axis and params are replicated; the MNRL logits
+matrix ``Q @ P^T`` is computed on the GLOBAL batch, so XLA inserts the
+positive-embedding all-gather over ICI automatically — cross-device in-batch
+negatives without any hand-written collective (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import shutil
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from instacart_next_order_recommendation_tpu.constants import (
+    DATA_PREP_PARAMS_FILENAME,
+    DEFAULT_CONFIG_TRAIN,
+    DEFAULT_OUTPUT_DIR,
+    DEFAULT_PROCESSED_DIR,
+    EVAL_CORPUS_FILENAME,
+    EVAL_DATASET_SUBDIR,
+    EVAL_QUERIES_FILENAME,
+    EVAL_RELEVANT_DOCS_FILENAME,
+    FINAL_SUBDIR,
+    TRAIN_DATASET_SUBDIR,
+)
+from instacart_next_order_recommendation_tpu.data.batching import (
+    no_duplicates_batches,
+    steps_per_epoch,
+)
+from instacart_next_order_recommendation_tpu.eval.evaluator import RetrievalEvaluator
+from instacart_next_order_recommendation_tpu.models import (
+    MINILM_L6,
+    MPNET_BASE_CLASS,
+    TowerConfig,
+    encode,
+    init_params,
+    load_tower,
+    save_tower,
+)
+from instacart_next_order_recommendation_tpu.models.text_encoder import TextEncoder
+from instacart_next_order_recommendation_tpu.ops import mnrl_loss
+from instacart_next_order_recommendation_tpu.parallel import MeshConfig, build_mesh
+from instacart_next_order_recommendation_tpu.parallel.mesh import (
+    maybe_initialize_distributed,
+)
+from instacart_next_order_recommendation_tpu.tokenizer import (
+    WordPieceTokenizer,
+    bucket_length,
+)
+from instacart_next_order_recommendation_tpu.utils import (
+    resolve_processed_dir,
+    setup_colored_logging,
+)
+from instacart_next_order_recommendation_tpu.utils.config import (
+    load_yaml_config,
+    resolve_project_path,
+)
+
+logger = logging.getLogger(__name__)
+
+_PRESETS = {"minilm-l6": MINILM_L6, "mpnet-base": MPNET_BASE_CLASS}
+
+BEST_METRIC = "ndcg_at_10"  # reference selects by cosine_ndcg@10 (:219-220)
+
+
+class TrainConfig:
+    """Typed training configuration (same YAML keys as the reference plus
+    TPU-native extensions: model preset/warm-start dir, vocab size, mesh)."""
+
+    def __init__(self, raw: dict):
+        self.processed_dir = resolve_project_path(raw.get("processed_dir"), DEFAULT_PROCESSED_DIR)
+        self.output_dir = resolve_project_path(raw.get("output_dir"), DEFAULT_OUTPUT_DIR)
+        # model: preset name ("minilm-l6"/"mpnet-base") or path to a checkpoint
+        # dir (ours or HF format) for a warm start.
+        self.model_name = str(raw.get("model_name", "minilm-l6"))
+        self.max_seq_length = int(raw.get("max_seq_length", 256))
+        self.epochs = int(raw.get("epochs", 5))
+        self.train_batch_size = int(raw.get("train_batch_size", 64))
+        self.eval_batch_size = int(raw.get("eval_batch_size", 64))
+        self.gradient_accumulation_steps = int(raw.get("gradient_accumulation_steps", 1))
+        self.learning_rate = float(raw.get("learning_rate", 5e-5))
+        self.loss_scale = float(raw.get("loss_scale", 30.0))
+        self.weight_decay = float(raw.get("weight_decay", 0.0))
+        self.run_information_retrieval_evaluator = bool(
+            raw.get("run_information_retrieval_evaluator", True)
+        )
+        self.vocab_size = int(raw.get("vocab_size", 30000))
+        self.seed = int(raw.get("seed", 42))
+        self.data_parallel = raw.get("data_parallel")  # None = all devices
+        self.model_parallel = int(raw.get("model_parallel", 1))
+        self.save_total_limit = int(raw.get("save_total_limit", 2))
+        self.logging_steps = int(raw.get("logging_steps", 100))
+        self.resume = bool(raw.get("resume", False))
+
+    @classmethod
+    def load(cls, config_path: Path | None = None) -> "TrainConfig":
+        return cls(load_yaml_config(config_path, DEFAULT_CONFIG_TRAIN))
+
+
+class TwoTowerTrainer:
+    """Runs the full training pipeline. See module docstring."""
+
+    def __init__(self, config: TrainConfig):
+        self.cfg = config
+        maybe_initialize_distributed()
+        self.mesh = build_mesh(
+            MeshConfig(data_parallel=config.data_parallel, model_parallel=config.model_parallel)
+        )
+        self.dp = self.mesh.shape["data"]
+
+    # ------------------------------------------------------------------ data
+
+    def _load_processed(self):
+        from datasets import load_from_disk
+
+        processed_dir, msg = resolve_processed_dir(self.cfg.processed_dir, DEFAULT_PROCESSED_DIR)
+        if msg:
+            logger.info("%s", msg)
+        self.processed_dir = processed_dir
+        train_ds = load_from_disk(str(processed_dir / TRAIN_DATASET_SUBDIR))
+        with open(processed_dir / EVAL_QUERIES_FILENAME) as f:
+            eval_queries = json.load(f)
+        with open(processed_dir / EVAL_CORPUS_FILENAME) as f:
+            eval_corpus = json.load(f)
+        with open(processed_dir / EVAL_RELEVANT_DOCS_FILENAME) as f:
+            eval_relevant = {k: set(v) for k, v in json.load(f).items()}
+        logger.info(
+            "[1/5] train pairs: %d, queries: %d, corpus: %d",
+            len(train_ds),
+            len(eval_queries),
+            len(eval_corpus),
+        )
+        return train_ds, eval_queries, eval_corpus, eval_relevant
+
+    # ------------------------------------------------------------------ model
+
+    def _build_model(self, corpus_texts_for_vocab):
+        name = self.cfg.model_name
+        preset = _PRESETS.get(name)
+        key = jax.random.key(self.cfg.seed)
+        if preset is not None:
+            tokenizer = WordPieceTokenizer.train(
+                corpus_texts_for_vocab, vocab_size=self.cfg.vocab_size
+            )
+            import dataclasses
+
+            config = dataclasses.replace(
+                preset,
+                vocab_size=tokenizer.vocab_size,
+                max_seq_length=self.cfg.max_seq_length,
+            )
+            params = init_params(config, key)
+            logger.info(
+                "[2/5] model preset %s from scratch (vocab %d)", name, tokenizer.vocab_size
+            )
+        else:
+            params, config, tokenizer = load_tower(name)
+            if tokenizer is None:
+                raise FileNotFoundError(f"warm-start dir {name} has no vocab.txt")
+            import dataclasses
+
+            config = dataclasses.replace(config, max_seq_length=self.cfg.max_seq_length)
+            logger.info("[2/5] warm start from %s", name)
+        return params, config, tokenizer
+
+    # ------------------------------------------------------------------ optimizer
+
+    def _build_optimizer(self, total_steps: int):
+        warmup = int(0.1 * total_steps)  # reference: 10% warmup (:215-217)
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=self.cfg.learning_rate,
+            warmup_steps=max(1, warmup),
+            decay_steps=max(2, total_steps),
+            end_value=0.0,
+        )
+        tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=self.cfg.weight_decay)
+        if self.cfg.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, self.cfg.gradient_accumulation_steps)
+        return tx, schedule
+
+    # ------------------------------------------------------------------ train step
+
+    def _make_train_step(self, tower_cfg: TowerConfig, tx):
+        rep = NamedSharding(self.mesh, P())
+        dat = NamedSharding(self.mesh, P("data"))
+
+        @partial(
+            jax.jit,
+            in_shardings=(rep, rep, (dat, dat, dat, dat), rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        def train_step(params, opt_state, batch, step_key):
+            a_ids, a_mask, p_ids, p_mask = batch
+
+            def loss_fn(p):
+                ka, kp = jax.random.split(step_key)
+                qa = encode(p, a_ids, a_mask, tower_cfg, dropout_key=ka)
+                qp = encode(p, p_ids, p_mask, tower_cfg, dropout_key=kp)
+                # Global-batch MNRL: sharded embeddings, XLA all-gathers.
+                return mnrl_loss(qa, qp, scale=self.cfg.loss_scale)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
+
+    # ------------------------------------------------------------------ checkpoints
+
+    def _save_epoch_checkpoint(self, epoch, params, opt_state, tower_cfg, tokenizer, history):
+        ckpt_dir = self.cfg.output_dir / f"checkpoint-epoch{epoch}"
+        save_tower(ckpt_dir, params, tower_cfg, tokenizer)
+        host_opt = jax.tree.map(np.asarray, opt_state)
+        (ckpt_dir / "opt_state.msgpack").write_bytes(serialization.to_bytes(host_opt))
+        (ckpt_dir / "train_state.json").write_text(
+            json.dumps({"epoch": epoch, "history": history})
+        )
+        # keep-N retention (reference save_total_limit=2, :236)
+        ckpts = sorted(
+            self.cfg.output_dir.glob("checkpoint-epoch*"),
+            key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
+        )
+        for old in ckpts[: -self.cfg.save_total_limit]:
+            shutil.rmtree(old, ignore_errors=True)
+        return ckpt_dir
+
+    def _find_resume_checkpoint(self):
+        ckpts = sorted(
+            self.cfg.output_dir.glob("checkpoint-epoch*"),
+            key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
+        )
+        return ckpts[-1] if ckpts else None
+
+    # ------------------------------------------------------------------ run
+
+    def train(self) -> dict:
+        """Run training; returns {"history": [...], "best_epoch": int}."""
+        cfg = self.cfg
+        cfg.output_dir.mkdir(parents=True, exist_ok=True)
+
+        train_ds, eval_queries, eval_corpus, eval_relevant = self._load_processed()
+        anchors: list[str] = train_ds["anchor"]
+        positives: list[str] = train_ds["positive"]
+
+        vocab_texts = list(eval_corpus.values()) + anchors[:50_000]
+        params, tower_cfg, tokenizer = self._build_model(vocab_texts)
+
+        # Pre-tokenize once (host); per-batch padding to a fixed global bucket.
+        logger.info("[3/5] tokenizing %d pairs...", len(anchors))
+        t0 = time.time()
+        a_tok = [tokenizer.encode(t, cfg.max_seq_length) for t in anchors]
+        p_tok = [tokenizer.encode(t, cfg.max_seq_length) for t in positives]
+        max_len = max(
+            (max((len(x) for x in a_tok), default=2), max((len(x) for x in p_tok), default=2))
+        )
+        self.seq_len = bucket_length(max_len, cfg.max_seq_length)
+        logger.info(
+            "  tokenized in %.1fs; padded seq len %d", time.time() - t0, self.seq_len
+        )
+
+        global_batch = cfg.train_batch_size * self.dp
+        n_steps_epoch = steps_per_epoch(len(anchors), global_batch)
+        total_steps = cfg.epochs * n_steps_epoch * cfg.gradient_accumulation_steps
+        tx, schedule = self._build_optimizer(total_steps)
+        train_step = self._make_train_step(tower_cfg, tx)
+
+        evaluator = None
+        if cfg.run_information_retrieval_evaluator:
+            evaluator = RetrievalEvaluator(
+                eval_queries, eval_corpus, eval_relevant, batch_size=cfg.eval_batch_size
+            )
+        encoder = TextEncoder(params, tower_cfg, tokenizer, cfg.max_seq_length)
+
+        opt_state = tx.init(params)
+        start_epoch = 1
+        history: list[dict] = []
+
+        if cfg.resume:
+            ckpt = self._find_resume_checkpoint()
+            if ckpt is not None:
+                params, tower_cfg, tokenizer = load_tower(ckpt)
+                opt_state = serialization.from_bytes(
+                    jax.tree.map(np.asarray, opt_state), (ckpt / "opt_state.msgpack").read_bytes()
+                )
+                state = json.loads((ckpt / "train_state.json").read_text())
+                start_epoch = state["epoch"] + 1
+                history = state.get("history", [])
+                logger.info("Resuming from %s (epoch %d)", ckpt.name, start_epoch)
+
+        logger.info(
+            "[4/5] training: %d epochs x %d steps, global batch %d (dp=%d), seq %d",
+            cfg.epochs,
+            n_steps_epoch,
+            global_batch,
+            self.dp,
+            self.seq_len,
+        )
+
+        base_key = jax.random.key(cfg.seed)
+        pad_id = tokenizer.pad_id
+        global_step = (start_epoch - 1) * n_steps_epoch
+
+        def assemble(idx: np.ndarray):
+            b = len(idx)
+            out = []
+            for tok in (a_tok, p_tok):
+                ids = np.full((b, self.seq_len), pad_id, dtype=np.int32)
+                mask = np.zeros((b, self.seq_len), dtype=np.int32)
+                for r, i in enumerate(idx):
+                    seq = tok[i][: self.seq_len]
+                    ids[r, : len(seq)] = seq
+                    mask[r, : len(seq)] = 1
+                out += [ids, mask]
+            return tuple(jnp.asarray(x) for x in out)
+
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            epoch_start = time.time()
+            losses = []
+            for step, idx in enumerate(
+                no_duplicates_batches(anchors, positives, global_batch, cfg.seed, epoch)
+            ):
+                batch = assemble(idx)
+                step_key = jax.random.fold_in(base_key, global_step)
+                params, opt_state, loss = train_step(params, opt_state, batch, step_key)
+                global_step += 1
+                if step % cfg.logging_steps == 0:
+                    loss_val = float(loss)
+                    losses.append(loss_val)
+                    lr = float(schedule(min(global_step, total_steps - 1)))
+                    logger.info(
+                        "  epoch %d step %d loss %.4f lr %.2e", epoch, step, loss_val, lr
+                    )
+
+            entry = {
+                "epoch": epoch,
+                "train_loss": float(np.mean(losses)) if losses else None,
+                "epoch_seconds": time.time() - epoch_start,
+            }
+            if evaluator is not None:
+                metrics = evaluator(encoder.with_params(params))
+                entry.update(metrics)
+                logger.info(
+                    "  epoch %d eval: ndcg@10 %.4f recall@10 %.4f mrr@10 %.4f acc@10 %.4f",
+                    epoch,
+                    metrics["ndcg_at_10"],
+                    metrics["recall_at_10"],
+                    metrics["mrr_at_10"],
+                    metrics["accuracy_at_10"],
+                )
+            history.append(entry)
+            self._save_epoch_checkpoint(epoch, params, opt_state, tower_cfg, tokenizer, history)
+            (cfg.output_dir / "eval_history.json").write_text(json.dumps(history, indent=2))
+
+        # Best-checkpoint selection by NDCG@10 (reference :219-220, :238-239).
+        best_epoch = cfg.epochs
+        if evaluator is not None and history:
+            scored = [h for h in history if BEST_METRIC in h]
+            if scored:
+                best_epoch = max(scored, key=lambda h: h[BEST_METRIC])["epoch"]
+        best_ckpt = self.cfg.output_dir / f"checkpoint-epoch{best_epoch}"
+        if best_ckpt.exists():
+            params, tower_cfg, tokenizer = load_tower(best_ckpt)
+            logger.info("Loaded best checkpoint (epoch %d by %s)", best_epoch, BEST_METRIC)
+
+        final_dir = cfg.output_dir / FINAL_SUBDIR
+        save_tower(final_dir, params, tower_cfg, tokenizer)
+        logger.info("[5/5] Done. Model saved to %s", final_dir)
+        return {"history": history, "best_epoch": best_epoch, "final_dir": str(final_dir)}
+
+    def _log_params(self):
+        params_path = getattr(self, "processed_dir", self.cfg.processed_dir) / DATA_PREP_PARAMS_FILENAME
+        if params_path.exists():
+            logger.info("data prep params: %s", params_path.read_text())
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Train the two-tower model")
+    parser.add_argument("--config", type=Path, default=None, help="Path to YAML config")
+    args = parser.parse_args()
+    setup_colored_logging(quiet_loggers=["jax", "datasets", "urllib3"])
+    trainer = TwoTowerTrainer(TrainConfig.load(args.config))
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""End-to-end training test on synthetic data (tiny tower, CPU mesh).
+
+Covers the full slice: data prep -> tokenizer training -> MNRL training over
+the 8-device mesh -> per-epoch IR eval -> checkpointing -> final export.
+Asserts that training actually learns (loss drops, NDCG@10 beats the
+untrained tower) — the functional parity bar of the reference pipeline.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from instacart_next_order_recommendation_tpu.data import InstacartDataPrep
+from instacart_next_order_recommendation_tpu.data.batching import no_duplicates_batches
+from instacart_next_order_recommendation_tpu.data.synthetic import generate_instacart_csvs
+from instacart_next_order_recommendation_tpu.eval.evaluator import RetrievalEvaluator
+from instacart_next_order_recommendation_tpu.models.text_encoder import TextEncoder
+from instacart_next_order_recommendation_tpu.train import TrainConfig, TwoTowerTrainer
+
+
+class TestNoDuplicatesSampler:
+    def test_batches_have_no_duplicate_texts(self):
+        anchors = [f"a{i % 7}" for i in range(50)]
+        positives = [f"p{i % 11}" for i in range(50)]
+        for idx in no_duplicates_batches(anchors, positives, 4, seed=0):
+            batch_a = [anchors[i] for i in idx]
+            batch_p = [positives[i] for i in idx]
+            assert len(set(batch_a)) == len(batch_a)
+            assert len(set(batch_p)) == len(batch_p)
+
+    def test_drop_last(self):
+        anchors = [f"a{i}" for i in range(10)]
+        positives = [f"p{i}" for i in range(10)]
+        batches = list(no_duplicates_batches(anchors, positives, 4, seed=0))
+        assert all(len(b) == 4 for b in batches)
+        assert len(batches) == 2  # 10 // 4, last ragged batch dropped
+
+    def test_epoch_changes_order(self):
+        anchors = [f"a{i}" for i in range(16)]
+        positives = [f"p{i}" for i in range(16)]
+        b0 = np.concatenate(list(no_duplicates_batches(anchors, positives, 4, 0, epoch=0)))
+        b1 = np.concatenate(list(no_duplicates_batches(anchors, positives, 4, 0, epoch=1)))
+        assert not np.array_equal(b0, b1)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    base = tmp_path_factory.mktemp("train_e2e")
+    data_dir = generate_instacart_csvs(base / "data", n_users=120, n_products=150, seed=3)
+    prep = InstacartDataPrep(data_dir=data_dir, output_dir=base / "processed", eval_frac=0.2)
+    prep.prepare()
+
+    cfg = TrainConfig(
+        {
+            "processed_dir": str(prep.effective_output_dir()),
+            "output_dir": str(base / "model"),
+            "model_name": "minilm-l6",
+            "max_seq_length": 64,
+            "epochs": 4,
+            "train_batch_size": 8,  # global 64 over 8 CPU devices
+            "eval_batch_size": 32,
+            "learning_rate": 1.0e-3,
+            "vocab_size": 2000,
+            "logging_steps": 5,
+        }
+    )
+    # Shrink the tower so the CPU test stays fast.
+    import dataclasses
+
+    import instacart_next_order_recommendation_tpu.train.trainer as trainer_mod
+
+    tiny = dataclasses.replace(
+        trainer_mod.MINILM_L6,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=128,
+        compute_dtype="float32",
+    )
+    old = trainer_mod._PRESETS["minilm-l6"]
+    trainer_mod._PRESETS["minilm-l6"] = tiny
+    try:
+        trainer = TwoTowerTrainer(cfg)
+        result = trainer.train()
+    finally:
+        trainer_mod._PRESETS["minilm-l6"] = old
+    return base, cfg, result, prep
+
+
+def test_training_loss_decreases(trained):
+    _, _, result, _ = trained
+    hist = result["history"]
+    assert len(hist) == 4
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+
+
+def test_trained_beats_untrained(trained):
+    base, cfg, result, prep = trained
+    out = prep.effective_output_dir()
+    eval_queries = json.loads((out / "eval_queries.json").read_text())
+    eval_corpus = json.loads((out / "eval_corpus.json").read_text())
+    eval_relevant = {
+        k: set(v) for k, v in json.loads((out / "eval_relevant_docs.json").read_text()).items()
+    }
+    evaluator = RetrievalEvaluator(eval_queries, eval_corpus, eval_relevant, batch_size=32)
+
+    encoder = TextEncoder.load(result["final_dir"])
+    trained_metrics = evaluator(encoder)
+
+    # Untrained tower: same config/tokenizer, fresh params.
+    import jax
+
+    from instacart_next_order_recommendation_tpu.models import init_params
+
+    untrained = encoder.with_params(init_params(encoder.config, jax.random.key(123)))
+    untrained_metrics = evaluator(untrained)
+
+    assert trained_metrics["ndcg_at_10"] > untrained_metrics["ndcg_at_10"]
+    assert trained_metrics["recall_at_10"] > untrained_metrics["recall_at_10"]
+    # sanity: eval history recorded metrics per epoch
+    assert "ndcg_at_10" in trained[2]["history"][0]
+
+
+def test_checkpoint_layout(trained):
+    base, cfg, result, _ = trained
+    out = cfg.output_dir
+    assert (out / "final" / "params.msgpack").exists()
+    assert (out / "final" / "vocab.txt").exists()
+    assert (out / "eval_history.json").exists()
+    ckpts = list(out.glob("checkpoint-epoch*"))
+    assert 1 <= len(ckpts) <= 2  # save_total_limit
+    ck = ckpts[-1]
+    assert (ck / "opt_state.msgpack").exists()
+    assert (ck / "train_state.json").exists()
