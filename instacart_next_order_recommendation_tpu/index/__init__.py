@@ -1,0 +1,6 @@
+"""Catalog embedding index: disk cache + row-sharded device index."""
+
+from instacart_next_order_recommendation_tpu.index.embedding_index import EmbeddingIndex
+from instacart_next_order_recommendation_tpu.index.sharded import ShardedCatalogIndex
+
+__all__ = ["EmbeddingIndex", "ShardedCatalogIndex"]

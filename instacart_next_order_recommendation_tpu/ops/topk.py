@@ -33,15 +33,22 @@ DEFAULT_BLOCK_N = 2048
 
 
 def cosine_topk_reference(
-    queries: jax.Array, catalog: jax.Array, k: int
+    queries: jax.Array, catalog: jax.Array, k: int, n_valid: jax.Array | int | None = None
 ) -> tuple[jax.Array, jax.Array]:
-    """jnp oracle: [B, D] x [N, D] -> top-k (scores [B, k], indices [B, k])."""
+    """jnp oracle: [B, D] x [N, D] -> top-k (scores [B, k], indices [B, k]).
+
+    ``n_valid`` masks out padding rows at the tail of the catalog (used when
+    the catalog is padded for even device sharding).
+    """
     scores = jax.lax.dot_general(
         queries,
         catalog,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if n_valid is not None:
+        col = jnp.arange(catalog.shape[0])[None, :]
+        scores = jnp.where(col < n_valid, scores, _NEG_INF)
     return jax.lax.top_k(scores, k)
 
 
@@ -84,10 +91,13 @@ def cosine_topk_pallas(
     k: int,
     block_n: int = DEFAULT_BLOCK_N,
     interpret: bool = False,
+    n_valid: jax.Array | int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k via blockwise Pallas kernel + candidate merge."""
     b, d = queries.shape
     n, _ = catalog.shape
+    if n_valid is None:
+        n_valid = n
     block_n = min(block_n, max(128, 1 << (n - 1).bit_length()))
     n_blocks = pl.cdiv(n, block_n)
     n_padded = n_blocks * block_n
@@ -134,7 +144,7 @@ def cosine_topk_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.array([n], dtype=jnp.int32), queries, catalog)
+    )(jnp.asarray(n_valid, dtype=jnp.int32).reshape(1), queries, catalog)
 
     cand_s = cand_s.reshape(b, n_blocks * k_local)
     cand_i = cand_i.reshape(b, n_blocks * k_local)
@@ -143,10 +153,12 @@ def cosine_topk_pallas(
     return top_s, top_i
 
 
-def cosine_topk(queries: jax.Array, catalog: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+def cosine_topk(
+    queries: jax.Array, catalog: jax.Array, k: int, n_valid: jax.Array | int | None = None
+) -> tuple[jax.Array, jax.Array]:
     """Dispatching entry point: exact brute-force cosine top-k."""
     from instacart_next_order_recommendation_tpu.ops import pallas_interpret, use_pallas
 
     if use_pallas() and k <= DEFAULT_BLOCK_N:
-        return cosine_topk_pallas(queries, catalog, k, interpret=pallas_interpret())
-    return cosine_topk_reference(queries, catalog, k)
+        return cosine_topk_pallas(queries, catalog, k, interpret=pallas_interpret(), n_valid=n_valid)
+    return cosine_topk_reference(queries, catalog, k, n_valid=n_valid)

@@ -1,0 +1,256 @@
+"""Two-tower recommender serving core.
+
+API and semantics mirror the reference Recommender/MonitoredRecommender
+(/root/reference/src/inference/serve_recommendations.py:133-293):
+
+- corpus JSON loaded preserving key order (key order IS ranking id order),
+- catalog embeddings built once and cached on disk via EmbeddingIndex,
+- ``recommend(query, top_k, exclude_product_ids)`` returns ``[(pid, score)]``
+  with exclusion applied AFTER ranking (excluded ids never shrink the
+  candidate pool before top-k — we fetch top-(k + |excluded|) instead of the
+  reference's full argsort; exact same results),
+- MonitoredRecommender adds per-stage timings and a structured metrics log.
+
+TPU-native difference: similarity+top-k run as the fused Pallas kernel over a
+row-sharded on-device catalog (multi-chip) instead of a full sort on one
+device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from instacart_next_order_recommendation_tpu.constants import (
+    DEFAULT_CONFIG_INFERENCE,
+    DEFAULT_CORPUS_PATH,
+    DEFAULT_MODEL_DIR,
+    DEMO_QUERY,
+    EVAL_QUERIES_FILENAME,
+)
+from instacart_next_order_recommendation_tpu.index import EmbeddingIndex, ShardedCatalogIndex
+from instacart_next_order_recommendation_tpu.models.text_encoder import TextEncoder
+from instacart_next_order_recommendation_tpu.parallel import MeshConfig, build_mesh
+from instacart_next_order_recommendation_tpu.utils import resolve_corpus_with_hf_fallback
+from instacart_next_order_recommendation_tpu.utils.config import (
+    load_yaml_config,
+    resolve_project_path,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RecommendationMetrics:
+    """Per-request serving metrics (reference :52-63)."""
+
+    user_id: str
+    query_embedding_time_ms: float
+    similarity_compute_time_ms: float
+    total_latency_ms: float
+    num_recommendations: int
+    top_score: float
+    avg_score: float
+    timestamp: float
+
+
+class Recommender:
+    """Encodes user context, retrieves top-k products by cosine similarity."""
+
+    def __init__(
+        self,
+        model_dir: Path | str,
+        corpus_path: Path,
+        batch_size: int = 64,
+        use_index: bool = True,
+        mesh=None,
+    ):
+        self.model_dir = self._resolve_model_dir(model_dir)
+        self.corpus_path = Path(corpus_path).resolve()
+        self.product_ids, self.product_texts = self._load_corpus()
+        self.pid_to_text = dict(zip(self.product_ids, self.product_texts))
+        self.encoder = TextEncoder.load(self.model_dir)
+        self.product_embeddings = self._load_or_build_embeddings(batch_size, use_index)
+        if mesh is None and jax.device_count() > 1:
+            mesh = build_mesh(MeshConfig())
+        self.index = ShardedCatalogIndex(self.product_embeddings, mesh)
+
+    @staticmethod
+    def _resolve_model_dir(model_dir: Path | str) -> Path:
+        p = Path(model_dir)
+        if not p.exists():
+            raise FileNotFoundError(f"model dir not found: {model_dir}")
+        return p.resolve()
+
+    def _load_corpus(self) -> tuple[list[str], list[str]]:
+        with open(self.corpus_path) as f:
+            corpus = json.load(f)
+        ids = list(corpus.keys())
+        return ids, [corpus[pid] for pid in ids]
+
+    def _load_or_build_embeddings(self, batch_size: int, use_index: bool) -> np.ndarray:
+        disk_index = EmbeddingIndex(self.corpus_path, self.model_dir)
+        if use_index:
+            cached = disk_index.load(self.product_ids)
+            if cached is not None:
+                logger.info(
+                    "Loaded %d product embeddings from index cache", len(self.product_ids)
+                )
+                return cached
+        embeddings = self.encoder.encode(
+            self.product_texts, batch_size=batch_size, show_progress=True
+        )
+        if use_index:
+            disk_index.save(self.product_ids, embeddings)
+        logger.info("Encoded corpus: %d products", len(self.product_ids))
+        return embeddings
+
+    # ------------------------------------------------------------------ query
+
+    def _rank(self, query: str, fetch_k: int) -> tuple[np.ndarray, np.ndarray]:
+        query_emb = self.encoder.encode([query], batch_size=1)
+        return self.index.topk(query_emb, fetch_k)
+
+    def recommend(
+        self,
+        query: str,
+        top_k: int = 10,
+        exclude_product_ids: set[str] | None = None,
+    ) -> list[tuple[str, float]]:
+        """Top-k (product_id, score); excluded ids skipped after ranking."""
+        excluded = exclude_product_ids or set()
+        fetch_k = min(top_k + len(excluded), len(self.product_ids))
+        scores, indices = self._rank(query, fetch_k)
+        return self._take_top(scores[0], indices[0], top_k, excluded)
+
+    def _take_top(
+        self, scores: np.ndarray, indices: np.ndarray, top_k: int, excluded: set[str]
+    ) -> list[tuple[str, float]]:
+        results: list[tuple[str, float]] = []
+        for score, idx in zip(scores, indices):
+            pid = self.product_ids[int(idx)]
+            if pid in excluded:
+                continue
+            results.append((pid, float(score)))
+            if len(results) >= top_k:
+                break
+        return results
+
+
+class MonitoredRecommender(Recommender):
+    """Recommender with per-stage timing; sets ``last_metrics`` per request."""
+
+    def __init__(self, *args, metrics_logger: Optional[logging.Logger] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.metrics_logger = metrics_logger or logging.getLogger("recommender.metrics")
+        self.last_metrics: Optional[RecommendationMetrics] = None
+
+    def recommend(
+        self,
+        query: str,
+        top_k: int = 10,
+        user_id: Optional[str] = None,
+        exclude_product_ids: set[str] | None = None,
+    ) -> list[tuple[str, float]]:
+        start = time.time()
+        encode_start = time.time()
+        query_emb = self.encoder.encode([query], batch_size=1)
+        encode_ms = (time.time() - encode_start) * 1000
+
+        excluded = exclude_product_ids or set()
+        fetch_k = min(top_k + len(excluded), len(self.product_ids))
+        sim_start = time.time()
+        scores, indices = self.index.topk(query_emb, fetch_k)
+        sim_ms = (time.time() - sim_start) * 1000
+
+        results = self._take_top(scores[0], indices[0], top_k, excluded)
+        total_ms = (time.time() - start) * 1000
+
+        self.last_metrics = RecommendationMetrics(
+            user_id=user_id or "anonymous",
+            query_embedding_time_ms=encode_ms,
+            similarity_compute_time_ms=sim_ms,
+            total_latency_ms=total_ms,
+            num_recommendations=len(results),
+            top_score=results[0][1] if results else 0.0,
+            avg_score=sum(s for _, s in results) / len(results) if results else 0.0,
+            timestamp=time.time(),
+        )
+        self._log_metrics(self.last_metrics)
+        return results
+
+    def _log_metrics(self, m: RecommendationMetrics) -> None:
+        self.metrics_logger.info(
+            "recommendation_served",
+            extra={
+                "user_id": m.user_id,
+                "latency_ms": m.total_latency_ms,
+                "encode_time_ms": m.query_embedding_time_ms,
+                "similarity_time_ms": m.similarity_compute_time_ms,
+                "num_results": m.num_recommendations,
+                "top_score": m.top_score,
+                "avg_score": m.avg_score,
+            },
+        )
+
+
+class InferenceConfig:
+    """CLI inference configuration (reference :296-334)."""
+
+    def __init__(self, raw: dict):
+        self.model_dir = resolve_project_path(raw.get("model_dir"), DEFAULT_MODEL_DIR)
+        corpus_path = resolve_project_path(raw.get("corpus"), DEFAULT_CORPUS_PATH)
+        self.corpus = resolve_corpus_with_hf_fallback(
+            corpus_path,
+            hf_repo=raw.get("corpus_hf_repo"),
+            hf_repo_type=raw.get("corpus_hf_repo_type"),
+        )
+        self.use_index = bool(raw.get("use_index", True))
+        self.query = raw.get("query")
+        self.eval_query_id = raw.get("eval_query_id")
+        self.top_k = int(raw.get("top_k", 10))
+
+    @classmethod
+    def load(cls, config_path: Path | None = None) -> "InferenceConfig":
+        return cls(load_yaml_config(config_path, DEFAULT_CONFIG_INFERENCE))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Serve product recommendations (CLI)")
+    parser.add_argument("--config", type=Path, default=None, help="Path to YAML config")
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    cfg = InferenceConfig.load(args.config)
+    rec = Recommender(model_dir=cfg.model_dir, corpus_path=cfg.corpus, use_index=cfg.use_index)
+
+    if cfg.eval_query_id:
+        queries_path = cfg.corpus.parent / EVAL_QUERIES_FILENAME
+        eval_queries = json.loads(queries_path.read_text())
+        if str(cfg.eval_query_id) not in eval_queries:
+            raise KeyError(f"eval_query_id {cfg.eval_query_id} not in {queries_path}")
+        query = eval_queries[str(cfg.eval_query_id)]
+        print(f"Query (eval_id={cfg.eval_query_id}):\n  {query[:200]}...\n")
+    elif cfg.query:
+        query = cfg.query
+        print(f"Query:\n  {query}\n")
+    else:
+        query = DEMO_QUERY
+        print(f"No query or eval_query_id in config. Using demo query:\n\n  {query}\n")
+
+    results = rec.recommend(query=query, top_k=cfg.top_k)
+    print(f"Top-{cfg.top_k} recommendations:")
+    for i, (pid, score) in enumerate(results, 1):
+        print(f"  {i}. product_id={pid} (score={score:.4f}) {rec.pid_to_text[pid]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Embedding index cache, sharded catalog index, and Recommender tests."""
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from instacart_next_order_recommendation_tpu.index import (
+    EmbeddingIndex,
+    ShardedCatalogIndex,
+)
+from instacart_next_order_recommendation_tpu.parallel import MeshConfig, build_mesh
+from instacart_next_order_recommendation_tpu.serve import (
+    MonitoredRecommender,
+    Recommender,
+)
+
+from tests.helpers import make_corpus, make_tiny_model_dir, write_corpus_json
+
+
+class TestEmbeddingIndexCache:
+    def _make(self, tmp_path, rng):
+        corpus_path = tmp_path / "eval_corpus.json"
+        corpus_path.write_text(json.dumps({"1": "a", "2": "b"}))
+        ids = ["1", "2"]
+        emb = rng.standard_normal((2, 8)).astype(np.float32)
+        return corpus_path, ids, emb
+
+    def test_roundtrip(self, tmp_path, rng):
+        corpus_path, ids, emb = self._make(tmp_path, rng)
+        idx = EmbeddingIndex(corpus_path, "model_a")
+        assert idx.load(ids) is None
+        idx.save(ids, emb)
+        loaded = idx.load(ids)
+        np.testing.assert_array_equal(loaded, emb)
+
+    def test_miss_on_corpus_change(self, tmp_path, rng):
+        corpus_path, ids, emb = self._make(tmp_path, rng)
+        idx = EmbeddingIndex(corpus_path, "model_a")
+        idx.save(ids, emb)
+        time.sleep(0.01)
+        corpus_path.write_text(json.dumps({"1": "a", "2": "CHANGED"}))
+        assert EmbeddingIndex(corpus_path, "model_a").load(ids) is None
+
+    def test_miss_on_id_mismatch(self, tmp_path, rng):
+        corpus_path, ids, emb = self._make(tmp_path, rng)
+        idx = EmbeddingIndex(corpus_path, "model_a")
+        idx.save(ids, emb)
+        assert idx.load(["1", "3"]) is None
+
+    def test_distinct_cache_per_model(self, tmp_path, rng):
+        corpus_path, ids, emb = self._make(tmp_path, rng)
+        EmbeddingIndex(corpus_path, "model_a").save(ids, emb)
+        assert EmbeddingIndex(corpus_path, "model_b").load(ids) is None
+
+
+class TestShardedCatalogIndex:
+    def _data(self, rng, n, d=32, b=4):
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        return q, c
+
+    def _expect(self, q, c, k):
+        scores = q @ c.T
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(scores, idx, axis=1), idx
+
+    def test_single_device_exact(self, rng):
+        q, c = self._data(rng, 200)
+        index = ShardedCatalogIndex(c, mesh=None)
+        s, i = index.topk(q, 10)
+        es, ei = self._expect(q, c, 10)
+        np.testing.assert_array_equal(i, ei)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+
+    @pytest.mark.parametrize("n", [256, 203])  # divisible and ragged shard sizes
+    def test_mesh_sharded_exact(self, rng, n):
+        mesh = build_mesh(MeshConfig())
+        assert mesh.shape["data"] == 8
+        q, c = self._data(rng, n)
+        index = ShardedCatalogIndex(c, mesh=mesh)
+        s, i = index.topk(q, 12)
+        es, ei = self._expect(q, c, 12)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        # indices may tie-swap across shards only on exact score ties (none here)
+        np.testing.assert_array_equal(i, ei)
+
+    def test_k_larger_than_shard(self, rng):
+        mesh = build_mesh(MeshConfig())
+        q, c = self._data(rng, 40)  # shard_rows = 5 < k
+        index = ShardedCatalogIndex(c, mesh=mesh)
+        s, i = index.topk(q, 20)
+        es, ei = self._expect(q, c, 20)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        np.testing.assert_array_equal(i, ei)
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    base = tmp_path_factory.mktemp("serve")
+    corpus = make_corpus(40)
+    model_dir = make_tiny_model_dir(base, corpus)
+    corpus_path = write_corpus_json(base, corpus)
+    rec = MonitoredRecommender(model_dir=model_dir, corpus_path=corpus_path)
+    return base, model_dir, corpus_path, corpus, rec
+
+
+class TestRecommender:
+    def test_returns_sorted_topk(self, served):
+        *_, rec = served
+        results = rec.recommend("organic milk", top_k=5)
+        assert len(results) == 5
+        scores = [s for _, s in results]
+        assert scores == sorted(scores, reverse=True)
+        assert all(pid in rec.pid_to_text for pid, _ in results)
+
+    def test_exclusion_after_ranking(self, served):
+        *_, rec = served
+        baseline = rec.recommend("organic milk", top_k=5)
+        excluded = {baseline[0][0], baseline[2][0]}
+        filtered = rec.recommend("organic milk", top_k=5, exclude_product_ids=excluded)
+        assert all(pid not in excluded for pid, _ in filtered)
+        # remaining order preserved: baseline minus excluded, plus next-ranked
+        expect_prefix = [pid for pid, _ in baseline if pid not in excluded]
+        assert [pid for pid, _ in filtered[: len(expect_prefix)]] == expect_prefix
+
+    def test_monitored_metrics_populated(self, served):
+        *_, rec = served
+        rec.recommend("bread", top_k=3, user_id="u42")
+        m = rec.last_metrics
+        assert m is not None
+        assert m.user_id == "u42"
+        assert m.num_recommendations == 3
+        assert m.total_latency_ms > 0
+        assert m.query_embedding_time_ms > 0
+        assert m.similarity_compute_time_ms > 0
+        assert m.top_score >= m.avg_score
+
+    def test_index_cache_reused(self, served):
+        base, model_dir, corpus_path, corpus, rec = served
+        # Second construction must hit the disk cache with identical embeddings.
+        rec2 = Recommender(model_dir=model_dir, corpus_path=corpus_path)
+        np.testing.assert_array_equal(rec2.product_embeddings, rec.product_embeddings)
+        cache_dirs = list((corpus_path.parent / ".embedding_index").iterdir())
+        assert len(cache_dirs) == 1
+
+    def test_corpus_key_order_is_ranking_order(self, served):
+        *_, rec = served
+        assert rec.product_ids == list(make_corpus(40).keys())
