@@ -1,0 +1,124 @@
+"""SQLite storage for feedback events.
+
+Schema, indices, and insert semantics (COALESCE created_at, executemany
+batch transaction) match the reference
+(/root/reference/src/api/feedback_store.py:49-196).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+from dataclasses import dataclass
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Iterable, Mapping, Optional
+
+from instacart_next_order_recommendation_tpu.constants import (
+    DEFAULT_FEEDBACK_DB_PATH,
+    ENV_FEEDBACK_DB_PATH,
+)
+
+_INSERT_SQL = """
+INSERT INTO feedback_events (
+    request_id, event_type, user_id, product_id,
+    user_context_hash, metadata, created_at
+)
+VALUES (?, ?, ?, ?, ?, ?, COALESCE(?, CURRENT_TIMESTAMP))
+"""
+
+
+def get_db_path() -> Path:
+    value = os.getenv(ENV_FEEDBACK_DB_PATH)
+    return Path(value) if value else DEFAULT_FEEDBACK_DB_PATH
+
+
+def init_db() -> Path:
+    """Create the feedback table and indices if missing; returns the DB path."""
+    db_path = get_db_path().resolve()
+    db_path.parent.mkdir(parents=True, exist_ok=True)
+    conn = sqlite3.connect(db_path)
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            """
+            CREATE TABLE IF NOT EXISTS feedback_events (
+                id INTEGER PRIMARY KEY AUTOINCREMENT,
+                request_id TEXT,
+                event_type TEXT NOT NULL,
+                user_id TEXT,
+                product_id TEXT NOT NULL,
+                user_context_hash TEXT,
+                metadata TEXT,
+                created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP
+            )
+            """
+        )
+        cur.execute(
+            "CREATE INDEX IF NOT EXISTS idx_feedback_request ON feedback_events(request_id)"
+        )
+        cur.execute(
+            "CREATE INDEX IF NOT EXISTS idx_feedback_event_type ON feedback_events(event_type)"
+        )
+        cur.execute(
+            "CREATE INDEX IF NOT EXISTS idx_feedback_created ON feedback_events(created_at)"
+        )
+        conn.commit()
+    finally:
+        conn.close()
+    return db_path
+
+
+@dataclass
+class FeedbackEventRecord:
+    request_id: Optional[str]
+    event_type: str
+    product_id: str
+    user_id: Optional[str] = None
+    user_context_hash: Optional[str] = None
+    metadata: Optional[Mapping[str, Any]] = None
+    created_at: Optional[datetime] = None
+
+    def row(self) -> tuple:
+        return (
+            self.request_id,
+            self.event_type,
+            self.user_id,
+            self.product_id,
+            self.user_context_hash,
+            _serialize_metadata(self.metadata),
+            self.created_at.isoformat() if self.created_at else None,
+        )
+
+
+def _serialize_metadata(metadata: Optional[Mapping[str, Any]]) -> Optional[str]:
+    if metadata is None:
+        return None
+    try:
+        return json.dumps(metadata, ensure_ascii=False)
+    except TypeError:
+        return json.dumps(str(metadata), ensure_ascii=False)
+
+
+def record_event(event: FeedbackEventRecord) -> None:
+    db_path = init_db()
+    conn = sqlite3.connect(db_path)
+    try:
+        conn.execute(_INSERT_SQL, event.row())
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def record_events(events: Iterable[FeedbackEventRecord]) -> None:
+    rows = [e.row() for e in events]
+    if not rows:
+        return
+    db_path = init_db()
+    conn = sqlite3.connect(db_path)
+    try:
+        conn.executemany(_INSERT_SQL, rows)
+        conn.commit()
+    finally:
+        conn.close()

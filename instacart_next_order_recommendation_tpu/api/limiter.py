@@ -1,0 +1,57 @@
+"""Per-IP rate limiting middleware (sliding window).
+
+Replaces slowapi in the reference (/root/reference/src/api/limiter.py:14-15):
+default limit from the ``RATE_LIMIT`` env var ("100/minute" format), keyed by
+remote address; probe/metrics/admin paths are exempt, matching the
+``@limiter.exempt`` markers in the reference routes.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from collections import defaultdict, deque
+
+from instacart_next_order_recommendation_tpu.api.http import Request, Response
+from instacart_next_order_recommendation_tpu.constants import ENV_RATE_LIMIT
+
+_PERIODS = {"second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0}
+
+EXEMPT_PATHS = {"/health", "/ready", "/metrics", "/admin/corpus"}
+
+
+def parse_rate(rate: str) -> tuple[int, float]:
+    """Parse "100/minute" -> (100, 60.0)."""
+    count_s, _, period_s = rate.partition("/")
+    period = _PERIODS.get(period_s.strip().rstrip("s"), 60.0)
+    return int(count_s.strip()), period
+
+
+class RateLimiter:
+    """Sliding-window counter per client IP."""
+
+    def __init__(self, rate: str | None = None):
+        rate = rate or os.getenv(ENV_RATE_LIMIT, "100/minute")
+        self.limit, self.period = parse_rate(rate)
+        self._events: dict[str, deque[float]] = defaultdict(deque)
+        self._lock = threading.Lock()
+
+    def allow(self, key: str) -> bool:
+        now = time.monotonic()
+        with self._lock:
+            window = self._events[key]
+            cutoff = now - self.period
+            while window and window[0] < cutoff:
+                window.popleft()
+            if len(window) >= self.limit:
+                return False
+            window.append(now)
+            return True
+
+    def middleware(self, request: Request, nxt):
+        if request.path in EXEMPT_PATHS:
+            return nxt(request)
+        if not self.allow(request.client_ip):
+            return Response(429, {"detail": f"Rate limit exceeded: {self.limit}/{int(self.period)}s"})
+        return nxt(request)

@@ -1,0 +1,92 @@
+"""POST /admin/corpus — hot-swap the product catalog.
+
+Parity with /root/reference/src/api/routes/corpus.py:53-106: validates the
+upload size against MAX_CORPUS_UPLOAD_PRODUCTS (env-overridable), writes the
+corpus to a temp JSON, builds a NEW recommender (re-encoding the catalog) and
+swaps it into app state atomically; failure unlinks the temp file and
+returns 500. Rate-limit exempt.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import tempfile
+import uuid
+from pathlib import Path
+
+from instacart_next_order_recommendation_tpu.api.auth import verify_api_key
+from instacart_next_order_recommendation_tpu.api.http import ApiError, App, Request, Response
+from instacart_next_order_recommendation_tpu.api.schemas import (
+    CorpusUploadRequest,
+    CorpusUploadResponse,
+)
+from instacart_next_order_recommendation_tpu.api.validation import validate
+from instacart_next_order_recommendation_tpu.constants import (
+    DEFAULT_MODEL_DIR,
+    ENV_MAX_CORPUS_UPLOAD_PRODUCTS,
+    ENV_MODEL_DIR,
+    MAX_CORPUS_UPLOAD_PRODUCTS,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _resolve_model_dir(app: App) -> Path:
+    value = os.getenv(ENV_MODEL_DIR)
+    if value:
+        return Path(value)
+    state_dir = app.state.get("model_dir")
+    return Path(state_dir) if state_dir else DEFAULT_MODEL_DIR
+
+
+def _get_max_corpus_products() -> int:
+    val = os.getenv(ENV_MAX_CORPUS_UPLOAD_PRODUCTS)
+    if val is None:
+        return MAX_CORPUS_UPLOAD_PRODUCTS
+    try:
+        return int(val)
+    except ValueError:
+        return MAX_CORPUS_UPLOAD_PRODUCTS
+
+
+def register(app: App) -> None:
+    @app.post("/admin/corpus")
+    def corpus_upload_endpoint(request: Request) -> Response:
+        verify_api_key(request)
+        payload = validate(CorpusUploadRequest, request.json())
+
+        n = len(payload.corpus)
+        max_allowed = _get_max_corpus_products()
+        if n > max_allowed:
+            raise ApiError(400, f"Corpus has {n} products; max allowed is {max_allowed}.")
+
+        model_dir = _resolve_model_dir(app)
+        temp_path = Path(tempfile.gettempdir()) / f"uploaded_corpus_{uuid.uuid4().hex}.json"
+        try:
+            temp_path.write_text(json.dumps(payload.corpus, indent=0))
+        except OSError as exc:
+            logger.exception("Failed to write temp corpus file")
+            raise ApiError(500, "Failed to write corpus to temporary file.") from exc
+
+        factory = app.state.get("recommender_factory")
+        if factory is None:
+            from instacart_next_order_recommendation_tpu.serve import MonitoredRecommender
+
+            factory = MonitoredRecommender
+        try:
+            recommender = factory(model_dir=model_dir, corpus_path=temp_path)
+        except Exception as exc:
+            temp_path.unlink(missing_ok=True)
+            logger.exception("Failed to load recommender with uploaded corpus")
+            raise ApiError(500, f"Failed to load recommender: {exc}") from exc
+
+        app.state["recommender"] = recommender
+        app.state["corpus_path"] = temp_path
+        app.state["ready"] = True
+
+        logger.info("corpus_uploaded n_products=%d model_dir=%s", n, model_dir)
+        return Response(
+            200, CorpusUploadResponse(status="ok", n_products=n).model_dump()
+        )
