@@ -51,7 +51,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    mask = mask_ref[:]  # (1, S)
+    b = pl.program_id(0)
+    mask = mask_ref[pl.ds(b, 1), :]  # (1, S) row of the full [B, S] mask block
     logits = (
         jax.lax.dot_general(
             q,
@@ -87,7 +88,9 @@ def _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret):
             qkv_spec,
             qkv_spec,
             qkv_spec,
-            pl.BlockSpec((1, seq), lambda b, h: (b, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
+            # Full mask array per program (tiny); row-indexed in the kernel —
+            # a (1, S) block would violate TPU (8, 128) block tiling.
+            pl.BlockSpec((batch, seq), lambda b, h: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),

@@ -52,7 +52,7 @@ def cosine_topk_reference(
     return jax.lax.top_k(scores, k)
 
 
-def _topk_block_kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref, s_scratch, *, k, block_n):
+def _topk_block_kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref, *, k, block_n):
     block_idx = pl.program_id(0)
     start = block_idx * block_n
     n_valid = n_valid_ref[0]
@@ -69,20 +69,37 @@ def _topk_block_kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref, s_scratc
     b = scores.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), dimension=1)
     gcol = col + start
-    s_scratch[:] = jnp.where(gcol < n_valid, scores, _NEG_INF)
+    scores = jnp.where(gcol < n_valid, scores, _NEG_INF)
 
-    def extract(i, _):
-        s = s_scratch[:]
+    # Iterative max extraction. The (b, k_pad) accumulators ride the fori_loop
+    # carry and update via elementwise `where` on a k-iota — Mosaic forbids
+    # lane-unaligned dynamic column stores, so no per-column writes. k_pad is
+    # the lane-aligned output width; only the first k columns are ever set.
+    k_pad = out_s_ref.shape[-1]
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), dimension=1)
+
+    def extract(i, carry):
+        s, acc_s, acc_i = carry
         m = jnp.max(s, axis=1)  # (B,)
-        is_max = s == m[:, None]
         # Tie-break to the lowest index (matches argsort-descending order).
-        amax = jnp.min(jnp.where(is_max, col, block_n), axis=1)
-        out_s_ref[:, pl.ds(i, 1)] = m[:, None]
-        out_i_ref[:, pl.ds(i, 1)] = amax[:, None] + start
-        s_scratch[:] = jnp.where(col == amax[:, None], _NEG_INF, s)
-        return 0
+        amax = jnp.min(jnp.where(s == m[:, None], col, block_n), axis=1)
+        acc_s = jnp.where(col_k == i, m[:, None], acc_s)
+        acc_i = jnp.where(col_k == i, amax[:, None] + start, acc_i)
+        s = jnp.where(col == amax[:, None], _NEG_INF, s)
+        return s, acc_s, acc_i
 
-    jax.lax.fori_loop(0, k, extract, 0)
+    _, acc_s, acc_i = jax.lax.fori_loop(
+        0,
+        k,
+        extract,
+        (
+            scores,
+            jnp.full((b, k_pad), _NEG_INF, jnp.float32),
+            jnp.zeros((b, k_pad), jnp.int32),
+        ),
+    )
+    out_s_ref[:] = acc_s
+    out_i_ref[:] = acc_i
 
 
 def cosine_topk_pallas(
@@ -105,28 +122,33 @@ def cosine_topk_pallas(
         catalog = jnp.pad(catalog, ((0, n_padded - n), (0, 0)))
     k_local = min(k, block_n)
 
+    # Hardware-tile padding: queries to 8 sublanes, output width to 128 lanes.
+    b_pad = -(-b // 8) * 8
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    k_pad = -(-k_local // 128) * 128
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((b, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b, 1, k_local), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, k_local), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM),
+            # Leading grid axis keeps the constrained last-two dims == (b, k).
+            pl.BlockSpec((1, b_pad, k_pad), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_pad, k_pad), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
     )
 
-    def kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref, s_scratch):
+    def kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref):
         _topk_block_kernel(
             n_valid_ref,
             q_ref,
             c_ref,
-            out_s_ref.at[:, 0, :],
-            out_i_ref.at[:, 0, :],
-            s_scratch,
+            out_s_ref.at[0],
+            out_i_ref.at[0],
             k=k_local,
             block_n=block_n,
         )
@@ -135,8 +157,8 @@ def cosine_topk_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_blocks, k_local), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_blocks, k_local), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, b_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, b_pad, k_pad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_padded * d,
@@ -146,8 +168,8 @@ def cosine_topk_pallas(
         interpret=interpret,
     )(jnp.asarray(n_valid, dtype=jnp.int32).reshape(1), queries, catalog)
 
-    cand_s = cand_s.reshape(b, n_blocks * k_local)
-    cand_i = cand_i.reshape(b, n_blocks * k_local)
+    cand_s = jnp.transpose(cand_s[:, :b, :k_local], (1, 0, 2)).reshape(b, n_blocks * k_local)
+    cand_i = jnp.transpose(cand_i[:, :b, :k_local], (1, 0, 2)).reshape(b, n_blocks * k_local)
     top_s, pos = jax.lax.top_k(cand_s, k)
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     return top_s, top_i
