@@ -1,0 +1,181 @@
+"""Headline benchmark: full-catalog retrieval serve throughput on one chip.
+
+Measures the end-to-end serve path of the TPU-native engine — host WordPiece
+tokenization -> tower encode (batched) -> fused cosine top-10 over a
+50k-product catalog — and reports queries/sec/chip.
+
+Baseline: the reference serves one query in 119.9 ms end-to-end (85.0 ms
+encode + 9.4 ms similarity; reference README.md:433-441, recorded in
+BASELINE.md) = 8.34 queries/s. The BASELINE.json target is >=5x that.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "queries/s", "vs_baseline": N/8.34, ...}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_QPS = 1000.0 / 119.9  # reference end-to-end serve latency
+CATALOG_SIZE = 50_000
+N_QUERIES = 4096
+SERVE_BATCH = 256
+TOP_K = 10
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_catalog_texts(n: int, rng: np.random.Generator) -> list[str]:
+    adjectives = [
+        "Organic", "Fresh", "Whole", "Natural", "Classic", "Golden", "Premium",
+        "Sweet", "Crunchy", "Creamy", "Roasted", "Smoked", "Wild", "Baked",
+    ]
+    nouns = [
+        "Milk", "Bread", "Banana", "Yogurt", "Cheese", "Chicken", "Broccoli",
+        "Rice", "Coffee", "Granola", "Pasta", "Sauce", "Parmesan", "Apple",
+    ]
+    aisles = ["fresh fruits", "milk", "bread", "cereal", "coffee", "pasta sauce"]
+    depts = ["produce", "dairy eggs", "bakery", "beverages", "pantry"]
+    out = []
+    for i in range(n):
+        name = f"{rng.choice(adjectives)} {rng.choice(nouns)} {i}"
+        out.append(
+            f"Product: {name}. Aisle: {rng.choice(aisles)}. Department: {rng.choice(depts)}."
+        )
+    return out
+
+
+def build_query_texts(n: int, catalog: list[str], rng: np.random.Generator) -> list[str]:
+    """User-context-shaped queries: [+Nd wDhH] name, name; ... (serve-time form)."""
+    names = [t.split("Product: ")[1].split(".")[0] for t in catalog]
+    out = []
+    for _ in range(n):
+        segments = []
+        for _ in range(int(rng.integers(1, 6))):
+            k = int(rng.integers(2, 7))
+            prods = rng.choice(len(names), size=k, replace=False)
+            prefix = f"+{int(rng.integers(1, 30))}d w{int(rng.integers(0, 7))}h{int(rng.integers(0, 24))}"
+            segments.append(f"[{prefix}] " + ", ".join(names[j] for j in prods))
+        out.append("; ".join(segments) + ".")
+    return out
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from instacart_next_order_recommendation_tpu.models import MINILM_L6, init_params
+    from instacart_next_order_recommendation_tpu.models.text_encoder import TextEncoder
+    from instacart_next_order_recommendation_tpu.index import ShardedCatalogIndex
+    from instacart_next_order_recommendation_tpu.tokenizer import WordPieceTokenizer
+
+    from instacart_next_order_recommendation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    # --- build model + catalog ------------------------------------------------
+    t0 = time.time()
+    catalog_texts = build_catalog_texts(CATALOG_SIZE, rng)
+    query_texts = build_query_texts(N_QUERIES, catalog_texts, rng)
+    tokenizer = WordPieceTokenizer.train(catalog_texts, vocab_size=30_000)
+    config = dataclasses.replace(MINILM_L6, vocab_size=tokenizer.vocab_size)
+    params = init_params(config, jax.random.key(0))
+    encoder = TextEncoder(params, config, tokenizer, max_seq_length=256)
+    log(f"setup {time.time() - t0:.1f}s (vocab {tokenizer.vocab_size})")
+
+    # --- catalog encode (index build) ----------------------------------------
+    # Warm the product-text shape bucket before timing (compiles are cached
+    # persistently, so steady-state startup pays ~0.2s here).
+    encoder.encode(catalog_texts[:SERVE_BATCH], batch_size=SERVE_BATCH)
+    t0 = time.time()
+    catalog_emb = encoder.encode(catalog_texts, batch_size=SERVE_BATCH)
+    catalog_encode_s = time.time() - t0
+    log(f"catalog encode: {CATALOG_SIZE / catalog_encode_s:.0f} products/s")
+
+    index = ShardedCatalogIndex(catalog_emb, mesh=None)
+    index.topk(catalog_emb[:SERVE_BATCH], TOP_K)  # warm the topk jit
+
+    # --- end-to-end serve throughput (pipelined) ------------------------------
+    # Warmup (compile all shape buckets).
+    warm = query_texts[:SERVE_BATCH]
+    index.topk(encoder.encode(warm, batch_size=SERVE_BATCH), TOP_K)
+
+    t0 = time.time()
+    n_served = 0
+    pending = []
+    for lo in range(0, N_QUERIES, SERVE_BATCH):
+        batch = query_texts[lo : lo + SERVE_BATCH]
+        emb = encoder.encode_device(batch, pad_batch_to=SERVE_BATCH)
+        pending.append(index.topk_device(emb, TOP_K))
+        n_served += len(batch)
+    results = [(np.asarray(s), np.asarray(i)) for s, i in pending]
+    elapsed = time.time() - t0
+    qps = n_served / elapsed
+    log(f"served {n_served} queries in {elapsed:.2f}s -> {qps:.0f} q/s")
+    del results
+
+    # --- single-query latency -------------------------------------------------
+    # (a) end-to-end from text (includes host<->device round trips — on
+    # tunneled TPU setups this is dominated by RTT, not compute).
+    emb = encoder.encode(query_texts[:1], batch_size=1)
+    index.topk(emb, TOP_K)  # warm batch-1 path
+    lat = []
+    for i in range(30):
+        t0 = time.time()
+        emb = encoder.encode_device(query_texts[i : i + 1])
+        _ = np.asarray(index.topk_device(emb, TOP_K)[1])
+        lat.append(time.time() - t0)
+    p50_ms = float(np.median(lat) * 1000)
+    log(f"single-query e2e p50 latency: {p50_ms:.2f} ms")
+
+    # (b) device-side latency with resident inputs (the chip's actual cost).
+    import jax.numpy as jnp
+
+    ids, mask = tokenizer.encode_batch(query_texts[:1], max_seq_length=256, pad_to=256)
+    ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+
+    def device_once():
+        e = encoder._jitted(encoder.params, ids_d, mask_d)
+        return index.topk_device(e, TOP_K)
+
+    jax.block_until_ready(device_once())
+    lat = []
+    for _ in range(30):
+        t0 = time.time()
+        jax.block_until_ready(device_once())
+        lat.append(time.time() - t0)
+    device_p50_ms = float(np.median(lat) * 1000)
+    log(f"single-query device p50 latency: {device_p50_ms:.2f} ms")
+
+    result = {
+        "metric": "serve_queries_per_sec_per_chip",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / REFERENCE_QPS, 1),
+        "details": {
+            "catalog_size": CATALOG_SIZE,
+            "top_k": TOP_K,
+            "serve_batch": SERVE_BATCH,
+            "single_query_p50_ms": round(p50_ms, 2),
+            "single_query_device_p50_ms": round(device_p50_ms, 2),
+            "catalog_encode_products_per_sec": round(CATALOG_SIZE / catalog_encode_s, 1),
+            "baseline_qps": round(REFERENCE_QPS, 2),
+            "baseline_source": "reference README.md:433-441 (119.9 ms/query)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,12 +93,16 @@ class ShardedCatalogIndex:
         )
         return jax.jit(fn)
 
-    def topk(self, queries: np.ndarray | jax.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Global exact top-k: returns (scores [B, k], indices [B, k])."""
+    def topk_device(self, queries: np.ndarray | jax.Array, k: int):
+        """Async top-k: returns device arrays without host sync (pipelines)."""
         k = min(k, self.n_total)
         queries = jnp.asarray(queries)
         cache_key = (k, queries.shape[0])
         if cache_key not in self._topk_cache:
             self._topk_cache[cache_key] = self._build_topk(k, queries.shape[0])
-        s, i = self._topk_cache[cache_key](queries, self._catalog)
+        return self._topk_cache[cache_key](queries, self._catalog)
+
+    def topk(self, queries: np.ndarray | jax.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Global exact top-k: returns (scores [B, k], indices [B, k])."""
+        s, i = self.topk_device(queries, k)
         return np.asarray(s), np.asarray(i)

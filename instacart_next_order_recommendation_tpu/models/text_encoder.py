@@ -36,6 +36,11 @@ class TextEncoder:
         tokenizer: WordPieceTokenizer,
         max_seq_length: int | None = None,
     ):
+        from instacart_next_order_recommendation_tpu.utils.cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
         self.params = params
         self.config = config
         self.tokenizer = tokenizer
@@ -51,27 +56,48 @@ class TextEncoder:
             raise FileNotFoundError(f"No vocab.txt in {model_dir}")
         return cls(params, config, tokenizer, max_seq_length)
 
+    def encode_device(
+        self,
+        texts: Sequence[str],
+        pad_batch_to: int | None = None,
+    ) -> jax.Array:
+        """Encode one batch, returning the device array WITHOUT host sync.
+
+        Dispatch is async: callers can pipeline tokenization/upload of the
+        next batch against device compute and defer the host transfer (each
+        host<->device round trip costs real latency on tunneled setups).
+        """
+        ids, mask = self.tokenizer.encode_batch(
+            texts, max_seq_length=self.max_seq_length, pad_batch_to=pad_batch_to
+        )
+        emb = self._jitted(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return emb[: len(texts)]
+
     def encode(
         self,
         texts: Sequence[str],
         batch_size: int = 64,
         show_progress: bool = False,
     ) -> np.ndarray:
-        """Encode texts to a [len(texts), hidden] float32 unit-norm matrix."""
-        out = np.empty((len(texts), self.config.hidden_size), dtype=np.float32)
+        """Encode texts to a [len(texts), hidden] float32 unit-norm matrix.
+
+        Batches are dispatched asynchronously and synced at the end, so
+        host tokenization, uploads, device compute, and downloads pipeline.
+        """
         n_batches = (len(texts) + batch_size - 1) // batch_size
+        pending: list[jax.Array] = []
         for bi in range(n_batches):
             lo, hi = bi * batch_size, min((bi + 1) * batch_size, len(texts))
-            chunk = texts[lo:hi]
-            ids, mask = self.tokenizer.encode_batch(
-                chunk, max_seq_length=self.max_seq_length, pad_batch_to=batch_size
-            )
-            emb = self._jitted(self.params, jnp.asarray(ids), jnp.asarray(mask))
-            out[lo:hi] = np.asarray(emb[: hi - lo], dtype=np.float32)
+            pending.append(self.encode_device(texts[lo:hi], pad_batch_to=batch_size))
             if show_progress and (bi % 50 == 0 or bi == n_batches - 1):
                 print(f"\r  encode {hi}/{len(texts)}", end="", flush=True)
         if show_progress:
             print()
+        out = np.empty((len(texts), self.config.hidden_size), dtype=np.float32)
+        lo = 0
+        for emb in pending:
+            out[lo : lo + emb.shape[0]] = np.asarray(emb, dtype=np.float32)
+            lo += emb.shape[0]
         return out
 
     def with_params(self, params: Params) -> "TextEncoder":
