@@ -90,6 +90,7 @@ class WordPieceTokenizer:
         self.cls_id = vocab[CLS_TOKEN]
         self.sep_id = vocab[SEP_TOKEN]
         self._cache: dict[str, list[int]] = {}
+        self._native = None  # lazily created; False = unavailable/disabled
 
     # ------------------------------------------------------------------ vocab IO
 
@@ -237,7 +238,25 @@ class WordPieceTokenizer:
         batch (recompile-free across batches); a fixed ``pad_to`` pins the
         shape entirely. ``pad_batch_to`` pads the batch dimension with empty
         rows (mask 0) for even device sharding.
+
+        ASCII batches route through the C++ fast path (native/wordpiece.cpp)
+        when available — identical output, ~an order of magnitude faster.
         """
+        native = self._get_native()
+        if native is not None and all(t.isascii() for t in texts):
+            full_len = pad_to if pad_to is not None else max_seq_length
+            n_rows = pad_batch_to if pad_batch_to is not None else len(texts)
+            ids, mask, longest = native.encode_batch(
+                list(texts), full_len, n_rows, self.pad_id
+            )
+            if pad_to is None:
+                seq_len = bucket_length(longest, max_seq_length)
+                if seq_len < full_len:
+                    return np.ascontiguousarray(ids[:, :seq_len]), np.ascontiguousarray(
+                        mask[:, :seq_len]
+                    )
+            return ids, mask
+
         encoded = [self.encode(t, max_seq_length) for t in texts]
         longest = max((len(e) for e in encoded), default=2)
         seq_len = pad_to if pad_to is not None else bucket_length(longest, max_seq_length)
@@ -267,3 +286,28 @@ class WordPieceTokenizer:
     @property
     def vocab_size(self) -> int:
         return len(self.vocab)
+
+    def _get_native(self):
+        """Lazily build the C++ tokenizer; False-cache on failure or opt-out."""
+        import os
+
+        if self._native is None:
+            if os.getenv("ITOR_DISABLE_NATIVE_TOKENIZER", "").strip() in ("1", "true"):
+                self._native = False
+            else:
+                from instacart_next_order_recommendation_tpu.tokenizer.native import (
+                    NativeWordPiece,
+                )
+
+                self._native = (
+                    NativeWordPiece.create(
+                        self.vocab,
+                        self.lowercase,
+                        self.pad_id,
+                        self.unk_id,
+                        self.cls_id,
+                        self.sep_id,
+                    )
+                    or False
+                )
+        return self._native or None

@@ -1,0 +1,77 @@
+"""Native (C++) tokenizer parity vs the pure-Python implementation."""
+
+import numpy as np
+import pytest
+
+from instacart_next_order_recommendation_tpu.tokenizer import WordPieceTokenizer
+
+CORPUS = [
+    "Product: Organic Milk. Aisle: milk. Department: dairy eggs.",
+    "Product: Whole Wheat Bread 2% extra-fine (sliced)! Aisle: bread.",
+    "[+7d w4h14] Organic Milk, Whole Wheat Bread. Next: +3d w1h9",
+    "numbers 123 456 mixed42tokens UPPER lower MiXeD",
+]
+
+
+@pytest.fixture(scope="module")
+def tok():
+    t = WordPieceTokenizer.train(CORPUS, vocab_size=800, min_frequency=1)
+    native = t._get_native()
+    if native is None:
+        pytest.skip("native tokenizer unavailable (no g++)")
+    return t
+
+
+def _python_batch(tok, texts, **kw):
+    saved = tok._native
+    tok._native = False
+    try:
+        return tok.encode_batch(texts, **kw)
+    finally:
+        tok._native = saved
+
+
+@pytest.mark.parametrize("pad_to", [None, 64])
+def test_batch_parity(tok, pad_to):
+    texts = CORPUS + ["unseen zzqx words!", "a b c . , ; '"]
+    ids_n, mask_n = tok.encode_batch(texts, max_seq_length=64, pad_to=pad_to)
+    ids_p, mask_p = _python_batch(tok, texts, max_seq_length=64, pad_to=pad_to)
+    np.testing.assert_array_equal(ids_n, ids_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
+
+
+def test_truncation_parity(tok):
+    long_text = " ".join(["organic milk"] * 200)
+    ids_n, mask_n = tok.encode_batch([long_text], max_seq_length=32, pad_to=32)
+    ids_p, mask_p = _python_batch(tok, [long_text], max_seq_length=32, pad_to=32)
+    np.testing.assert_array_equal(ids_n, ids_p)
+    assert ids_n[0, -1] == tok.sep_id
+
+
+def test_batch_row_padding(tok):
+    ids, mask = tok.encode_batch(["milk"], pad_batch_to=4, pad_to=16)
+    assert ids.shape == (4, 16)
+    assert mask[1:].sum() == 0
+    assert (ids[1:] == tok.pad_id).all()
+
+
+def test_non_ascii_falls_back(tok):
+    # Must not crash and must match Python output exactly (python path used).
+    texts = ["café au lait", "milk"]
+    ids, mask = tok.encode_batch(texts, max_seq_length=32)
+    ids_p, mask_p = _python_batch(tok, texts, max_seq_length=32)
+    np.testing.assert_array_equal(ids, ids_p)
+
+
+def test_native_faster_than_python(tok):
+    import time
+
+    texts = [f"Product: Organic Milk {i}. Aisle: milk. Department: dairy." for i in range(2000)]
+    tok.encode_batch(texts[:10], pad_to=64)  # warm native caches
+    t0 = time.time()
+    tok.encode_batch(texts, pad_to=64)
+    native_t = time.time() - t0
+    t0 = time.time()
+    _python_batch(tok, texts, pad_to=64)
+    python_t = time.time() - t0
+    assert native_t < python_t, (native_t, python_t)
