@@ -111,16 +111,21 @@ def main() -> None:
     warm = query_texts[:SERVE_BATCH]
     index.topk(encoder.encode(warm, batch_size=SERVE_BATCH), TOP_K)
 
-    t0 = time.time()
-    n_served = 0
-    pending = []
-    for lo in range(0, N_QUERIES, SERVE_BATCH):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def serve_batch(lo: int) -> np.ndarray:
         batch = query_texts[lo : lo + SERVE_BATCH]
         emb = encoder.encode_device(batch, pad_batch_to=SERVE_BATCH)
-        pending.append(index.topk_device(emb, TOP_K))
-        n_served += len(batch)
-    results = [(np.asarray(s), np.asarray(i)) for s, i in pending]
-    elapsed = time.time() - t0
+        _, idx = index.topk_device(emb, TOP_K)
+        return np.asarray(idx)
+
+    # A few worker threads overlap host tokenization and the per-round
+    # host<->device transfer latency (large on tunneled TPU setups).
+    with ThreadPoolExecutor(4) as ex:
+        t0 = time.time()
+        results = list(ex.map(serve_batch, range(0, N_QUERIES, SERVE_BATCH)))
+        elapsed = time.time() - t0
+    n_served = sum(len(r) for r in results)
     qps = n_served / elapsed
     log(f"served {n_served} queries in {elapsed:.2f}s -> {qps:.0f} q/s")
     del results

@@ -116,6 +116,10 @@ def cosine_topk_pallas(
     if n_valid is None:
         n_valid = n
     block_n = min(block_n, max(128, 1 << (n - 1).bit_length()))
+    # VMEM budget: the [B, block_n] f32 score tile dominates; keep it ~<=4MB
+    # so queries + catalog block + accumulators fit the ~16MB VMEM limit.
+    while b * block_n * 4 > 4 * 1024 * 1024 and block_n > 128:
+        block_n //= 2
     n_blocks = pl.cdiv(n, block_n)
     n_padded = n_blocks * block_n
     if n_padded != n:
