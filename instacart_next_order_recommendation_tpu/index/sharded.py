@@ -72,7 +72,7 @@ class ShardedCatalogIndex:
             shard_idx = jax.lax.axis_index(DATA_AXIS)
             start = shard_idx * shard_rows
             n_valid = jnp.clip(n_total - start, 0, shard_rows)
-            s, i = cosine_topk(queries, catalog_shard, min(k, shard_rows), n_valid=n_valid)
+            s, i = cosine_topk(queries, catalog_shard, min(k, shard_rows), n_valid=n_valid, local=True)
             i = i + start
             # Gather candidates from every shard: [dp, B, k_local].
             all_s = jax.lax.all_gather(s, DATA_AXIS)

@@ -21,11 +21,20 @@ import jax
 
 @lru_cache(maxsize=1)
 def use_pallas() -> bool:
+    """Pallas on single-chip TPU; jnp references elsewhere.
+
+    Multi-device note: a pallas_call is an opaque custom call to GSPMD, so
+    under jit over a multi-device mesh XLA would replicate its operands
+    (correct but wasteful). Ops invoked INSIDE shard_map see local shapes and
+    are safe on any topology (the sharded catalog index does this); the
+    jit-GSPMD training step uses the jnp references on multi-device meshes
+    until it moves to an explicit shard_map step.
+    """
     if os.getenv("ITOR_DISABLE_PALLAS", "").strip() in ("1", "true"):
         return False
     if os.getenv("ITOR_FORCE_PALLAS", "").strip() in ("1", "true"):
         return True
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 @lru_cache(maxsize=1)

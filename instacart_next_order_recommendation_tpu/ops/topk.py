@@ -180,11 +180,22 @@ def cosine_topk_pallas(
 
 
 def cosine_topk(
-    queries: jax.Array, catalog: jax.Array, k: int, n_valid: jax.Array | int | None = None
+    queries: jax.Array,
+    catalog: jax.Array,
+    k: int,
+    n_valid: jax.Array | int | None = None,
+    local: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Dispatching entry point: exact brute-force cosine top-k."""
+    """Dispatching entry point: exact brute-force cosine top-k.
+
+    ``local=True`` marks a call made inside shard_map (operands are local
+    shards), where the Pallas kernel is safe on any device topology.
+    """
+    import jax as _jax
+
     from instacart_next_order_recommendation_tpu.ops import pallas_interpret, use_pallas
 
-    if use_pallas() and k <= DEFAULT_BLOCK_N:
+    pallas_ok = use_pallas() or (local and _jax.default_backend() == "tpu")
+    if pallas_ok and k <= DEFAULT_BLOCK_N:
         return cosine_topk_pallas(queries, catalog, k, interpret=pallas_interpret(), n_valid=n_valid)
     return cosine_topk_reference(queries, catalog, k, n_valid=n_valid)

@@ -203,13 +203,18 @@ class TwoTowerTrainer:
     # ------------------------------------------------------------------ train step
 
     def _make_train_step(self, tower_cfg: TowerConfig, tx):
+        from instacart_next_order_recommendation_tpu.parallel import param_shardings
+
         rep = NamedSharding(self.mesh, P())
         dat = NamedSharding(self.mesh, P("data"))
+        # Tensor parallelism engages automatically when model_parallel > 1:
+        # Megatron-layout param shardings; optimizer state follows the params.
+        p_shard = param_shardings(self.mesh, tower_cfg)
 
         @partial(
             jax.jit,
-            in_shardings=(rep, rep, (dat, dat, dat, dat), rep),
-            out_shardings=(rep, rep, rep),
+            in_shardings=(p_shard, None, (dat, dat, dat, dat), rep),
+            out_shardings=(p_shard, None, rep),
             donate_argnums=(0, 1),
         )
         def train_step(params, opt_state, batch, step_key):
@@ -227,7 +232,7 @@ class TwoTowerTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return train_step
+        return train_step, p_shard
 
     # ------------------------------------------------------------------ checkpoints
 
@@ -286,7 +291,10 @@ class TwoTowerTrainer:
         n_steps_epoch = steps_per_epoch(len(anchors), global_batch)
         total_steps = cfg.epochs * n_steps_epoch * cfg.gradient_accumulation_steps
         tx, schedule = self._build_optimizer(total_steps)
-        train_step = self._make_train_step(tower_cfg, tx)
+        train_step, p_shard = self._make_train_step(tower_cfg, tx)
+        # Place params per the sharding rules; optimizer state inherits the
+        # layout through the jitted init (zeros_like propagates shardings).
+        params = jax.device_put(params, p_shard)
 
         evaluator = None
         if cfg.run_information_retrieval_evaluator:
@@ -295,7 +303,7 @@ class TwoTowerTrainer:
             )
         encoder = TextEncoder(params, tower_cfg, tokenizer, cfg.max_seq_length)
 
-        opt_state = tx.init(params)
+        opt_state = jax.jit(tx.init)(params)
         start_epoch = 1
         history: list[dict] = []
 

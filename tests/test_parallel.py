@@ -1,0 +1,123 @@
+"""Mesh/sharding tests: TP param specs and dp-vs-dpxtp numerical equivalence."""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from instacart_next_order_recommendation_tpu.models import (
+    MINILM_L6,
+    encode,
+    init_params,
+)
+from instacart_next_order_recommendation_tpu.ops import mnrl_loss
+from instacart_next_order_recommendation_tpu.parallel import (
+    MeshConfig,
+    build_mesh,
+    param_shardings,
+)
+
+TINY = dataclasses.replace(
+    MINILM_L6,
+    vocab_size=256,
+    hidden_size=64,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=128,
+    max_position=64,
+    compute_dtype="float32",
+)
+
+
+def test_mesh_shapes():
+    mesh = build_mesh(MeshConfig())
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_invalid_mesh_raises():
+    with pytest.raises(ValueError):
+        build_mesh(MeshConfig(model_parallel=3))  # does not divide 8... 3*? -> invalid
+
+
+def test_param_shardings_tp_layout():
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    shardings = param_shardings(mesh, TINY)
+    assert shardings["layers"]["ffn_w1"].spec == P(None, None, "model")
+    assert shardings["layers"]["ffn_w2"].spec == P(None, "model", None)
+    assert shardings["layers"]["q_w"].spec == P(None, None, "model")
+    assert shardings["embeddings"]["word"].spec == P()
+    # replicated mesh -> everything replicated
+    mesh1 = build_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    shardings1 = param_shardings(mesh1, TINY)
+    assert shardings1["layers"]["ffn_w1"].spec == P()
+
+
+def test_tp_must_divide():
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    bad = dataclasses.replace(TINY, intermediate_size=100)
+    with pytest.raises(ValueError):
+        param_shardings(mesh, bad)
+
+
+def _loss_fn(params, batch, config):
+    a_ids, a_mask, p_ids, p_mask = batch
+    qa = encode(params, a_ids, a_mask, config)
+    qp = encode(params, p_ids, p_mask, config)
+    return mnrl_loss(qa, qp, scale=30.0)
+
+
+def test_dp_vs_dp_tp_equivalence(rng):
+    """The same forward/loss under dp8 and dp4xtp2 must agree numerically."""
+    params = init_params(TINY, jax.random.key(0))
+    b, s = 16, 16
+    ids = jnp.asarray(rng.integers(5, 256, (b, s)), jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+    batch = (ids, mask, ids[::-1], mask)
+
+    losses = []
+    for dp, mp in ((8, 1), (4, 2)):
+        mesh = build_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))
+        p_shard = param_shardings(mesh, TINY)
+        dat = NamedSharding(mesh, P("data"))
+        placed = jax.device_put(params, p_shard)
+        placed_batch = tuple(jax.device_put(x, dat) for x in batch)
+        fn = jax.jit(
+            partial(_loss_fn, config=TINY),
+            in_shardings=(p_shard, (dat,) * 4),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+        losses.append(float(fn(placed, placed_batch)))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+
+
+def test_tp_grads_match_single_device(rng):
+    """Gradients under dp4xtp2 match unsharded single-computation gradients."""
+    params = init_params(TINY, jax.random.key(1))
+    b, s = 8, 16
+    ids = jnp.asarray(rng.integers(5, 256, (b, s)), jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+    batch = (ids, mask, jnp.flip(ids, 0), mask)
+
+    ref_grads = jax.grad(partial(_loss_fn, batch=batch, config=TINY))(params)
+
+    mesh = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    p_shard = param_shardings(mesh, TINY)
+    dat = NamedSharding(mesh, P("data"))
+    placed = jax.device_put(params, p_shard)
+    placed_batch = tuple(jax.device_put(x, dat) for x in batch)
+    fn = jax.jit(
+        lambda p, bt: jax.grad(partial(_loss_fn, batch=bt, config=TINY))(p),
+        in_shardings=(p_shard, (dat,) * 4),
+        out_shardings=p_shard,
+    )
+    tp_grads = fn(placed, placed_batch)
+    flat_ref = jax.tree.leaves(ref_grads)
+    flat_tp = jax.tree.leaves(tp_grads)
+    for a, b_ in zip(flat_ref, flat_tp):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-4)
