@@ -345,12 +345,26 @@ class TwoTowerTrainer:
                 out += [ids, mask]
             return tuple(jnp.asarray(x) for x in out)
 
+        import os as _os
+
+        profile_dir = _os.getenv("ITOR_PROFILE_DIR")
+        profiling = False
+
         for epoch in range(start_epoch, cfg.epochs + 1):
             epoch_start = time.time()
             losses = []
             for step, idx in enumerate(
                 no_duplicates_batches(anchors, positives, global_batch, cfg.seed, epoch)
             ):
+                # Device-trace the first few steps when ITOR_PROFILE_DIR is set.
+                if profile_dir and epoch == start_epoch:
+                    if step == 1:
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    elif step == 6 and profiling:
+                        jax.block_until_ready(params)
+                        jax.profiler.stop_trace()
+                        profiling = False
                 batch = assemble(idx)
                 step_key = jax.random.fold_in(base_key, global_step)
                 params, opt_state, loss = train_step(params, opt_state, batch, step_key)

@@ -66,20 +66,30 @@ def build_funnel_events(
     click_rate: float,
     atc_rate: float,
     purchase_rate: float,
+    user_context: str | None = None,
 ) -> list[dict]:
-    """Impression for every product; then click -> add_to_cart -> purchase chains."""
+    """Impression for every product; then click -> add_to_cart -> purchase chains.
+
+    When ``user_context`` is known it is stored in event metadata so
+    scripts/feedback_retrain.py can mine (context, product) training pairs.
+    """
+    meta = {"metadata": {"user_context": user_context}} if user_context else {}
     events = []
     for pid in product_ids:
-        events.append({"request_id": request_id, "event_type": "impression", "product_id": pid})
+        events.append(
+            {"request_id": request_id, "event_type": "impression", "product_id": pid, **meta}
+        )
         if rng.random() < click_rate:
-            events.append({"request_id": request_id, "event_type": "click", "product_id": pid})
+            events.append(
+                {"request_id": request_id, "event_type": "click", "product_id": pid, **meta}
+            )
             if rng.random() < atc_rate:
                 events.append(
-                    {"request_id": request_id, "event_type": "add_to_cart", "product_id": pid}
+                    {"request_id": request_id, "event_type": "add_to_cart", "product_id": pid, **meta}
                 )
                 if rng.random() < purchase_rate:
                     events.append(
-                        {"request_id": request_id, "event_type": "purchase", "product_id": pid}
+                        {"request_id": request_id, "event_type": "purchase", "product_id": pid, **meta}
                     )
     return events
 
@@ -150,6 +160,7 @@ def main() -> None:
                 cfg["click_rate"],
                 cfg["atc_rate"],
                 cfg["purchase_rate"],
+                user_context=context,
             )
             post_feedback(client, base_url, cfg["api_key"], events)
             total_events += len(events)

@@ -1,0 +1,60 @@
+"""Checkpoint/resume: training continues from the last epoch checkpoint."""
+
+import dataclasses
+import json
+
+import pytest
+
+import instacart_next_order_recommendation_tpu.train.trainer as trainer_mod
+from instacart_next_order_recommendation_tpu.data import InstacartDataPrep
+from instacart_next_order_recommendation_tpu.data.synthetic import generate_instacart_csvs
+from instacart_next_order_recommendation_tpu.train import TrainConfig, TwoTowerTrainer
+
+
+@pytest.fixture()
+def tiny_preset(monkeypatch):
+    tiny = dataclasses.replace(
+        trainer_mod.MINILM_L6,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=4,
+        intermediate_size=64,
+        compute_dtype="float32",
+    )
+    monkeypatch.setitem(trainer_mod._PRESETS, "minilm-l6", tiny)
+    return tiny
+
+
+def test_resume_continues_from_checkpoint(tmp_path, tiny_preset):
+    data_dir = generate_instacart_csvs(tmp_path / "data", n_users=40, n_products=60, seed=9)
+    prep = InstacartDataPrep(data_dir=data_dir, output_dir=tmp_path / "p", eval_frac=0.25)
+    prep.prepare()
+
+    base_cfg = {
+        "processed_dir": str(prep.effective_output_dir()),
+        "output_dir": str(tmp_path / "model"),
+        "max_seq_length": 32,
+        "epochs": 1,
+        "train_batch_size": 8,
+        "eval_batch_size": 16,
+        "vocab_size": 500,
+        "run_information_retrieval_evaluator": False,
+    }
+    # First run: 1 epoch.
+    TwoTowerTrainer(TrainConfig(base_cfg)).train()
+    state1 = json.loads(
+        (tmp_path / "model" / "checkpoint-epoch1" / "train_state.json").read_text()
+    )
+    assert state1["epoch"] == 1
+
+    # Resume with epochs=3: must start at epoch 2 and end with 3 history rows.
+    result = TwoTowerTrainer(
+        TrainConfig({**base_cfg, "epochs": 3, "resume": True})
+    ).train()
+    epochs_run = [h["epoch"] for h in result["history"]]
+    assert epochs_run == [1, 2, 3]
+    assert (tmp_path / "model" / "checkpoint-epoch3").exists()
+    assert (tmp_path / "model" / "final").exists()
+    # keep-2 retention
+    ckpts = sorted(p.name for p in (tmp_path / "model").glob("checkpoint-epoch*"))
+    assert len(ckpts) == 2

@@ -1,0 +1,52 @@
+"""TextEncoder tests: batch-size invariance, device/host paths, profiling hook."""
+
+import numpy as np
+import pytest
+
+from instacart_next_order_recommendation_tpu.models.text_encoder import TextEncoder
+from instacart_next_order_recommendation_tpu.utils.profiling import maybe_trace
+
+from tests.helpers import make_corpus, make_tiny_model_dir
+
+
+@pytest.fixture(scope="module")
+def encoder(tmp_path_factory):
+    base = tmp_path_factory.mktemp("textenc")
+    corpus = make_corpus(20)
+    model_dir = make_tiny_model_dir(base, corpus)
+    return TextEncoder.load(model_dir), list(corpus.values())
+
+
+def test_batch_size_invariance(encoder):
+    enc, texts = encoder
+    full = enc.encode(texts, batch_size=16)
+    small = enc.encode(texts, batch_size=3)
+    np.testing.assert_allclose(full, small, atol=1e-5)
+
+
+def test_encode_device_matches_host_path(encoder):
+    enc, texts = encoder
+    host = enc.encode(texts[:4], batch_size=4)
+    dev = np.asarray(enc.encode_device(texts[:4]))
+    np.testing.assert_allclose(host, dev, atol=1e-6)
+
+
+def test_unit_norm_output(encoder):
+    enc, texts = encoder
+    out = enc.encode(texts[:5], batch_size=5)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+
+def test_with_params_shares_jit(encoder):
+    enc, texts = encoder
+    view = enc.with_params(enc.params)
+    assert view._jitted is enc._jitted
+    np.testing.assert_array_equal(
+        enc.encode(texts[:2], batch_size=2), view.encode(texts[:2], batch_size=2)
+    )
+
+
+def test_maybe_trace_noop_without_env(monkeypatch):
+    monkeypatch.delenv("ITOR_PROFILE_DIR", raising=False)
+    with maybe_trace("x"):
+        pass  # must be free and not raise
