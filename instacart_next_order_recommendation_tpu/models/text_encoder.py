@@ -78,26 +78,42 @@ class TextEncoder:
         texts: Sequence[str],
         batch_size: int = 64,
         show_progress: bool = False,
+        num_threads: int = 4,
     ) -> np.ndarray:
         """Encode texts to a [len(texts), hidden] float32 unit-norm matrix.
 
-        Batches are dispatched asynchronously and synced at the end, so
-        host tokenization, uploads, device compute, and downloads pipeline.
+        Batches are dispatched asynchronously and synced at the end; for large
+        inputs a small thread pool overlaps tokenization and per-batch
+        host<->device transfer latency (significant on tunneled TPU setups).
         """
         n_batches = (len(texts) + batch_size - 1) // batch_size
-        pending: list[jax.Array] = []
-        for bi in range(n_batches):
+        out = np.empty((len(texts), self.config.hidden_size), dtype=np.float32)
+
+        def run(bi: int) -> tuple[int, np.ndarray]:
             lo, hi = bi * batch_size, min((bi + 1) * batch_size, len(texts))
-            pending.append(self.encode_device(texts[lo:hi], pad_batch_to=batch_size))
-            if show_progress and (bi % 50 == 0 or bi == n_batches - 1):
-                print(f"\r  encode {hi}/{len(texts)}", end="", flush=True)
+            emb = self.encode_device(texts[lo:hi], pad_batch_to=batch_size)
+            return lo, np.asarray(emb, dtype=np.float32)
+
+        if num_threads > 1 and n_batches > 2:
+            # Warm the jit cache single-threaded first (avoids duplicate
+            # concurrent compiles of the same shape).
+            lo, arr = run(0)
+            out[lo : lo + len(arr)] = arr
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(num_threads) as ex:
+                for lo, arr in ex.map(run, range(1, n_batches)):
+                    out[lo : lo + len(arr)] = arr
+                    if show_progress:
+                        print(f"\r  encode {lo + len(arr)}/{len(texts)}", end="", flush=True)
+        else:
+            for bi in range(n_batches):
+                lo, arr = run(bi)
+                out[lo : lo + len(arr)] = arr
+                if show_progress and (bi % 50 == 0 or bi == n_batches - 1):
+                    print(f"\r  encode {lo + len(arr)}/{len(texts)}", end="", flush=True)
         if show_progress:
             print()
-        out = np.empty((len(texts), self.config.hidden_size), dtype=np.float32)
-        lo = 0
-        for emb in pending:
-            out[lo : lo + emb.shape[0]] = np.asarray(emb, dtype=np.float32)
-            lo += emb.shape[0]
         return out
 
     def with_params(self, params: Params) -> "TextEncoder":
