@@ -50,6 +50,30 @@ def _load_eval_queries(corpus_path: Path) -> dict[str, str]:
     return {}
 
 
+def _load_on_demand(app: App):
+    """Load a recommender from env/default paths when startup didn't."""
+    import os
+
+    from instacart_next_order_recommendation_tpu.constants import (
+        DEFAULT_CORPUS_PATH,
+        DEFAULT_MODEL_DIR,
+        ENV_CORPUS_PATH,
+        ENV_MODEL_DIR,
+    )
+
+    factory = app.state.get("recommender_factory") or MonitoredRecommender
+    model_dir = Path(os.getenv(ENV_MODEL_DIR) or DEFAULT_MODEL_DIR)
+    corpus_path = Path(os.getenv(ENV_CORPUS_PATH) or DEFAULT_CORPUS_PATH)
+    logger.warning("Recommender not preloaded; loading on-demand")
+    try:
+        recommender = factory(model_dir=model_dir, corpus_path=corpus_path)
+    except Exception as exc:  # noqa: BLE001
+        raise ApiError(503, f"Recommender not loaded and on-demand load failed: {exc}")
+    app.state["recommender"] = recommender
+    app.state["ready"] = True
+    return recommender
+
+
 def register(app: App) -> None:
     @app.post("/recommend")
     def recommend_endpoint(request: Request) -> Response:
@@ -60,7 +84,8 @@ def register(app: App) -> None:
 
             recommender = app.state.get("recommender")
             if recommender is None:
-                raise ApiError(503, "Recommender not loaded.")
+                # On-demand fallback load (reference get_recommender, :75-81).
+                recommender = _load_on_demand(app)
 
             context = payload.user_context
             if context is None and payload.user_id is not None:

@@ -7,6 +7,14 @@ error instead).
 
 from __future__ import annotations
 
+# Allow running as `python scripts/<name>.py` from a repo checkout.
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo_root = str(_Path(__file__).resolve().parents[1])
+if _repo_root not in _sys.path:
+    _sys.path.insert(0, _repo_root)
+
 import argparse
 from pathlib import Path
 
