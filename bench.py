@@ -113,11 +113,20 @@ def main() -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from instacart_next_order_recommendation_tpu.serve.pipeline import (
+        FusedServePipeline,
+    )
+
+    fused = FusedServePipeline(params, config, index._catalog, CATALOG_SIZE)
+
     def serve_batch(lo: int) -> np.ndarray:
         batch = query_texts[lo : lo + SERVE_BATCH]
-        emb = encoder.encode_device(batch, pad_batch_to=SERVE_BATCH)
-        _, idx = index.topk_device(emb, TOP_K)
-        return np.asarray(idx)
+        ids, mask = tokenizer.encode_batch(batch, max_seq_length=256, pad_batch_to=SERVE_BATCH)
+        packed, k = fused.topk_device(ids, mask, TOP_K)
+        _, idx = fused.unpack(np.asarray(packed), k)
+        return idx[: len(batch)]
+
+    serve_batch(0)  # warm the fused program
 
     # A few worker threads overlap host tokenization and the per-round
     # host<->device transfer latency (large on tunneled TPU setups).
@@ -133,13 +142,15 @@ def main() -> None:
     # --- single-query latency -------------------------------------------------
     # (a) end-to-end from text (includes host<->device round trips — on
     # tunneled TPU setups this is dominated by RTT, not compute).
-    emb = encoder.encode(query_texts[:1], batch_size=1)
-    index.topk(emb, TOP_K)  # warm batch-1 path
+    ids1, mask1 = tokenizer.encode_batch(query_texts[:1], max_seq_length=256, pad_to=256)
+    fused.topk(ids1, mask1, TOP_K)  # warm batch-1 fused program
     lat = []
     for i in range(30):
         t0 = time.time()
-        emb = encoder.encode_device(query_texts[i : i + 1])
-        _ = np.asarray(index.topk_device(emb, TOP_K)[1])
+        ids1, mask1 = tokenizer.encode_batch(
+            query_texts[i : i + 1], max_seq_length=256, pad_to=256
+        )
+        fused.topk(ids1, mask1, TOP_K)
         lat.append(time.time() - t0)
     p50_ms = float(np.median(lat) * 1000)
     log(f"single-query e2e p50 latency: {p50_ms:.2f} ms")

@@ -82,6 +82,20 @@ class Recommender:
         if mesh is None and jax.device_count() > 1:
             mesh = build_mesh(MeshConfig())
         self.index = ShardedCatalogIndex(self.product_embeddings, mesh)
+        # Single-device serving fuses encode+topk into one dispatch; the
+        # sharded path keeps encode separate (topk runs under shard_map).
+        self._fused = None
+        if self.index.dp == 1:
+            from instacart_next_order_recommendation_tpu.serve.pipeline import (
+                FusedServePipeline,
+            )
+
+            self._fused = FusedServePipeline(
+                self.encoder.params,
+                self.encoder.config,
+                self.index._catalog,
+                len(self.product_ids),
+            )
 
     @staticmethod
     def _resolve_model_dir(model_dir: Path | str) -> Path:
@@ -116,8 +130,19 @@ class Recommender:
     # ------------------------------------------------------------------ query
 
     def _rank(self, query: str, fetch_k: int) -> tuple[np.ndarray, np.ndarray]:
-        query_emb = self.encoder.encode([query], batch_size=1)
-        return self.index.topk(query_emb, fetch_k)
+        # Round k up to a small bucket so each distinct request shape doesn't
+        # recompile the fused program; slice back after.
+        k_bucket = next((b for b in (16, 32, 64, 128, 256) if b >= fetch_k), fetch_k)
+        k_bucket = min(k_bucket, len(self.product_ids))
+        if self._fused is not None:
+            ids, mask = self.encoder.tokenizer.encode_batch(
+                [query], max_seq_length=self.encoder.max_seq_length
+            )
+            scores, indices = self._fused.topk(ids, mask, k_bucket)
+        else:
+            query_emb = self.encoder.encode([query], batch_size=1)
+            scores, indices = self.index.topk(query_emb, k_bucket)
+        return scores[:, :fetch_k], indices[:, :fetch_k]
 
     def recommend(
         self,
