@@ -35,7 +35,10 @@ class TextEncoder:
         config: TowerConfig,
         tokenizer: WordPieceTokenizer,
         max_seq_length: int | None = None,
+        mesh=None,
     ):
+        """``mesh`` (optional): shard encode batches over its ``data`` axis —
+        data-parallel corpus/query encoding for multi-device training eval."""
         from instacart_next_order_recommendation_tpu.utils.cache import (
             enable_compilation_cache,
         )
@@ -45,6 +48,12 @@ class TextEncoder:
         self.config = config
         self.tokenizer = tokenizer
         self.max_seq_length = max_seq_length or config.max_seq_length
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self._jitted = jax.jit(partial(encode, config=self.config))
 
     @classmethod
@@ -67,10 +76,18 @@ class TextEncoder:
         next batch against device compute and defer the host transfer (each
         host<->device round trip costs real latency on tunneled setups).
         """
+        if self._batch_sharding is not None:
+            dp = self._batch_sharding.mesh.shape["data"]
+            rows = pad_batch_to or len(texts)
+            pad_batch_to = -(-rows // dp) * dp
         ids, mask = self.tokenizer.encode_batch(
             texts, max_seq_length=self.max_seq_length, pad_batch_to=pad_batch_to
         )
-        emb = self._jitted(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+        if self._batch_sharding is not None:
+            ids_d = jax.device_put(ids_d, self._batch_sharding)
+            mask_d = jax.device_put(mask_d, self._batch_sharding)
+        emb = self._jitted(self.params, ids_d, mask_d)
         return emb[: len(texts)]
 
     def encode(
@@ -119,9 +136,6 @@ class TextEncoder:
     def with_params(self, params: Params) -> "TextEncoder":
         """Cheap view with updated params (training eval reuses the jit cache)."""
         new = TextEncoder.__new__(TextEncoder)
+        new.__dict__.update(self.__dict__)
         new.params = params
-        new.config = self.config
-        new.tokenizer = self.tokenizer
-        new.max_seq_length = self.max_seq_length
-        new._jitted = self._jitted
         return new

@@ -301,7 +301,9 @@ class TwoTowerTrainer:
             evaluator = RetrievalEvaluator(
                 eval_queries, eval_corpus, eval_relevant, batch_size=cfg.eval_batch_size
             )
-        encoder = TextEncoder(params, tower_cfg, tokenizer, cfg.max_seq_length)
+        encoder = TextEncoder(
+            params, tower_cfg, tokenizer, cfg.max_seq_length, mesh=self.mesh
+        )
 
         opt_state = jax.jit(tx.init)(params)
         start_epoch = 1

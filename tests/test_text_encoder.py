@@ -50,3 +50,18 @@ def test_maybe_trace_noop_without_env(monkeypatch):
     monkeypatch.delenv("ITOR_PROFILE_DIR", raising=False)
     with maybe_trace("x"):
         pass  # must be free and not raise
+
+
+def test_mesh_sharded_encode_matches_single_device(encoder):
+    import jax
+
+    from instacart_next_order_recommendation_tpu.parallel import MeshConfig, build_mesh
+
+    enc, texts = encoder
+    mesh = build_mesh(MeshConfig())
+    from instacart_next_order_recommendation_tpu.models.text_encoder import TextEncoder
+
+    sharded = TextEncoder(enc.params, enc.config, enc.tokenizer, enc.max_seq_length, mesh=mesh)
+    a = enc.encode(texts, batch_size=8)
+    b = sharded.encode(texts, batch_size=8)
+    np.testing.assert_allclose(a, b, atol=1e-5)
