@@ -277,8 +277,22 @@ class TwoTowerTrainer:
         # Pre-tokenize once (host); per-batch padding to a fixed global bucket.
         logger.info("[3/5] tokenizing %d pairs...", len(anchors))
         t0 = time.time()
-        a_tok = [tokenizer.encode(t, cfg.max_seq_length) for t in anchors]
-        p_tok = [tokenizer.encode(t, cfg.max_seq_length) for t in positives]
+
+        def tokenize_all(texts: list[str]) -> list[np.ndarray]:
+            # Chunked batch tokenization hits the C++ fast path; rows are
+            # trimmed back to ragged arrays for compact storage.
+            out: list[np.ndarray] = []
+            chunk = 8192
+            for lo in range(0, len(texts), chunk):
+                ids, mask = tokenizer.encode_batch(
+                    texts[lo : lo + chunk], max_seq_length=cfg.max_seq_length
+                )
+                lengths = mask.sum(axis=1)
+                out.extend(ids[r, : lengths[r]] for r in range(len(ids)))
+            return out
+
+        a_tok = tokenize_all(anchors)
+        p_tok = tokenize_all(positives)
         max_len = max(
             (max((len(x) for x in a_tok), default=2), max((len(x) for x in p_tok), default=2))
         )
