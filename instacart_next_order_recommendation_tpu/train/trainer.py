@@ -271,6 +271,7 @@ class TwoTowerTrainer:
         anchors: list[str] = train_ds["anchor"]
         positives: list[str] = train_ds["positive"]
 
+        self._log_params()
         vocab_texts = list(eval_corpus.values()) + anchors[:50_000]
         params, tower_cfg, tokenizer = self._build_model(vocab_texts)
 
