@@ -24,27 +24,29 @@ def no_duplicates_batches(
 ) -> Iterator[np.ndarray]:
     """Yield index arrays of exactly ``batch_size`` (drop_last semantics)."""
     rng = np.random.default_rng(seed + epoch)
-    order = rng.permutation(len(anchors))
-    pending: list[int] = list(order)
-    while len(pending) >= batch_size:
+    remaining: list[int] = list(rng.permutation(len(anchors)))
+    while len(remaining) >= batch_size:
         batch: list[int] = []
         seen: set[str] = set()
-        leftover: list[int] = []
-        for i in pending:
+        deferred: list[int] = []
+        cut = len(remaining)
+        for pos, i in enumerate(remaining):
             a, p = anchors[i], positives[i]
             if a in seen or p in seen:
-                leftover.append(i)
+                deferred.append(i)
                 continue
             batch.append(i)
             seen.add(a)
             seen.add(p)
             if len(batch) == batch_size:
+                cut = pos + 1
                 break
         if len(batch) < batch_size:
             # Remaining samples cannot fill a clean batch; drop them.
             return
-        consumed = set(batch)
-        pending = [i for i in pending if i not in consumed]
+        # Deferred duplicates retry at the front of the next batch's scan;
+        # each batch scans only what it consumed (O(n) per epoch overall).
+        remaining = deferred + remaining[cut:]
         yield np.asarray(batch)
 
 
