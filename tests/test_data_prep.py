@@ -182,3 +182,27 @@ class TestReferenceParity:
         if ev_ref is not None:
             assert ev_ours["anchor"] == ev_ref["anchor"]
             assert ev_ours["positive"] == ev_ref["positive"]
+
+
+def test_time_prefix_hour_formats():
+    """String hours render verbatim (zfilled upstream); numeric hours as int
+    (reference :254-255, :199-200)."""
+    import numpy as np
+
+    tp = InstacartDataPrep._time_prefix
+    assert tp(float("nan"), 4, "04") == "w4h04"
+    assert tp(7.0, 1, "09") == "+7d w1h09"
+    assert tp(float("nan"), 4, 14) == "w4h14"
+    assert tp(3.0, 2, np.int64(8)) == "+3d w2h8"
+
+
+def test_max_prior_orders_window(tmp_path):
+    """Only the most recent N prior orders enter the context."""
+    data_dir = tmp_path / "data"
+    _write_micro_dataset(data_dir)
+    prep = InstacartDataPrep(
+        data_dir=data_dir, output_dir=tmp_path / "out", max_prior_orders=1, eval_frac=0.5
+    )
+    _, _, eval_queries, _, _ = prep.prepare()
+    # only order 102 (the most recent prior) remains
+    assert eval_queries["103"] == "[+7d w1h9] Banana."
