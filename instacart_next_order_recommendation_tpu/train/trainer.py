@@ -203,13 +203,58 @@ class TwoTowerTrainer:
     # ------------------------------------------------------------------ train step
 
     def _make_train_step(self, tower_cfg: TowerConfig, tx):
+        """Build the jitted train step.
+
+        Two equivalent formulations (tested against each other):
+
+        - **GSPMD** (default; required for tensor parallelism): one jit over
+          the mesh, batch sharded on ``data``, params sharded per the TP
+          rules; MNRL computes the GLOBAL logits matrix so XLA inserts the
+          positive all-gather and gradient psum itself.
+        - **shard_map** (dp-only): the step runs per-device on LOCAL shapes
+          with explicit ``all_gather`` (negatives, inside mnrl_loss) and
+          ``pmean`` (grads). Pallas kernels see local shapes here, so the
+          fused attention/pool kernels stay active on multi-chip TPU meshes
+          (a pallas_call is opaque to the GSPMD partitioner).
+        """
         from instacart_next_order_recommendation_tpu.parallel import param_shardings
 
         rep = NamedSharding(self.mesh, P())
         dat = NamedSharding(self.mesh, P("data"))
-        # Tensor parallelism engages automatically when model_parallel > 1:
-        # Megatron-layout param shardings; optimizer state follows the params.
         p_shard = param_shardings(self.mesh, tower_cfg)
+        use_shard_map = self.dp > 1 and self.mesh.shape["model"] == 1
+
+        if use_shard_map:
+            from jax import shard_map
+
+            def local_step(params, opt_state, batch, step_key):
+                a_ids, a_mask, p_ids, p_mask = batch  # local [B/dp, S] shards
+                # Decorrelate dropout across data shards.
+                step_key = jax.random.fold_in(step_key, jax.lax.axis_index("data"))
+
+                def loss_fn(p):
+                    ka, kp = jax.random.split(step_key)
+                    qa = encode(p, a_ids, a_mask, tower_cfg, dropout_key=ka)
+                    qp = encode(p, p_ids, p_mask, tower_cfg, dropout_key=kp)
+                    return mnrl_loss(
+                        qa, qp, scale=self.cfg.loss_scale, axis_name="data"
+                    )
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                loss = jax.lax.pmean(loss, "data")
+                grads = jax.lax.pmean(grads, "data")
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+
+            mapped = shard_map(
+                local_step,
+                mesh=self.mesh,
+                in_specs=(P(), P(), (P("data"),) * 4, P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+            return ("shard_map", jax.jit(mapped, donate_argnums=(0, 1))), p_shard
 
         @partial(
             jax.jit,
@@ -232,7 +277,7 @@ class TwoTowerTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return train_step, p_shard
+        return ("gspmd", train_step), p_shard
 
     # ------------------------------------------------------------------ checkpoints
 
@@ -306,7 +351,8 @@ class TwoTowerTrainer:
         n_steps_epoch = steps_per_epoch(len(anchors), global_batch)
         total_steps = cfg.epochs * n_steps_epoch * cfg.gradient_accumulation_steps
         tx, schedule = self._build_optimizer(total_steps)
-        train_step, p_shard = self._make_train_step(tower_cfg, tx)
+        (step_mode, train_step), p_shard = self._make_train_step(tower_cfg, tx)
+        logger.info("  train step mode: %s", step_mode)
         # Place params per the sharding rules; optimizer state inherits the
         # layout through the jitted init (zeros_like propagates shardings).
         params = jax.device_put(params, p_shard)

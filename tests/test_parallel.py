@@ -121,3 +121,38 @@ def test_tp_grads_match_single_device(rng):
     flat_tp = jax.tree.leaves(tp_grads)
     for a, b_ in zip(flat_ref, flat_tp):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-4)
+
+
+def test_shardmap_step_matches_gspmd_step(rng, monkeypatch):
+    """One optimizer step via the shard_map path equals the GSPMD path."""
+    import optax
+
+    import instacart_next_order_recommendation_tpu.train.trainer as tm
+
+    # Host copy: the train step donates its inputs, so each mode gets a
+    # fresh device placement.
+    params = jax.tree.map(np.asarray, init_params(TINY, jax.random.key(3)))
+    ids = jnp.asarray(rng.integers(5, 256, (16, 16)), jnp.int32)
+    mask = jnp.ones((16, 16), jnp.int32)
+    batch = (ids, mask, jnp.flip(ids, 0), mask)
+    key = jax.random.key(0)
+
+    results = {}
+    for mode, mp in (("shard_map", 1), ("gspmd", 2)):
+        cfg = tm.TrainConfig({"model_parallel": mp, "learning_rate": 1e-3})
+        trainer = tm.TwoTowerTrainer(cfg)
+        tx = optax.adamw(1e-3)
+        (got_mode, step), p_shard = trainer._make_train_step(
+            dataclasses.replace(TINY, hidden_dropout=0.0), tx
+        )
+        assert got_mode == mode
+        placed = jax.device_put(params, p_shard)
+        opt_state = jax.jit(tx.init)(placed)
+        new_params, _, loss = step(placed, opt_state, batch, key)
+        results[mode] = (jax.tree.map(np.asarray, new_params), float(loss))
+
+    assert results["shard_map"][1] == pytest.approx(results["gspmd"][1], rel=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(results["shard_map"][0]), jax.tree.leaves(results["gspmd"][0])
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-5)
