@@ -152,3 +152,35 @@ class TestRecommender:
     def test_corpus_key_order_is_ranking_order(self, served):
         *_, rec = served
         assert rec.product_ids == list(make_corpus(40).keys())
+
+
+class TestBf16Index:
+    def test_bf16_rankings_match_f32_with_margin(self, rng):
+        # Well-separated clusters: bf16 quantization must not change top-k.
+        d = 32
+        centers = rng.standard_normal((10, d)).astype(np.float32) * 5
+        c = np.concatenate([centers + 0.01 * rng.standard_normal((10, d)) for _ in range(20)])
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = centers[:4] / np.linalg.norm(centers[:4], axis=1, keepdims=True)
+
+        f32 = ShardedCatalogIndex(c, dtype="float32")
+        bf16 = ShardedCatalogIndex(c, dtype="bfloat16")
+        _, i32 = f32.topk(q, 5)
+        _, i16 = bf16.topk(q, 5)
+        # bf16 may reorder near-tied clones WITHIN a cluster, but every
+        # retrieved row must come from the query's cluster (row % 10 == qid).
+        for qid in range(len(q)):
+            assert all(int(r) % 10 == qid for r in i16[qid])
+            assert all(int(r) % 10 == qid for r in i32[qid])
+
+    def test_bf16_on_mesh(self, rng):
+        from instacart_next_order_recommendation_tpu.parallel import MeshConfig, build_mesh
+
+        mesh = build_mesh(MeshConfig())
+        c = rng.standard_normal((100, 16)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = c[:3]
+        index = ShardedCatalogIndex(c, mesh=mesh, dtype="bfloat16")
+        scores, idx = index.topk(q, 1)
+        # each query's own row must be its top hit
+        np.testing.assert_array_equal(idx[:, 0], [0, 1, 2])
