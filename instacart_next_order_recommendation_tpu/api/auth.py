@@ -7,6 +7,7 @@ disabled unless the ``API_KEY`` env var is set; accepts ``X-API-Key`` or
 
 from __future__ import annotations
 
+import hmac
 import os
 
 from instacart_next_order_recommendation_tpu.api.http import ApiError, Request
@@ -34,5 +35,5 @@ def verify_api_key(request: Request) -> None:
             401,
             "API key required. Provide X-API-Key header or Authorization: Bearer <key>.",
         )
-    if provided != expected:
+    if not hmac.compare_digest(provided.encode(), expected.encode()):
         raise ApiError(401, "Invalid API key.")

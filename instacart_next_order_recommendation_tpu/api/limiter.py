@@ -47,6 +47,11 @@ class RateLimiter:
             if len(window) >= self.limit:
                 return False
             window.append(now)
+            # Bound memory: prune idle clients once the table grows large.
+            if len(self._events) > 10_000:
+                stale = [k for k, w in self._events.items() if not w or w[-1] < cutoff]
+                for k in stale:
+                    del self._events[k]
             return True
 
     def middleware(self, request: Request, nxt):
