@@ -45,6 +45,7 @@ def generate_instacart_csvs(
     orders_per_user: tuple[int, int] = (4, 9),
     basket_size: tuple[int, int] = (3, 10),
     aisles_per_user: int = 3,
+    reorder_rate: float = 0.6,
     seed: int = 0,
 ) -> Path:
     """Write synthetic CSVs to ``data_dir``; returns the dir."""
@@ -104,6 +105,7 @@ def generate_instacart_csvs(
         if len(pref_pool) == 0:
             pref_pool = products["product_id"].to_numpy()
         n_orders = int(rng.integers(*orders_per_user))
+        bought: set[int] = set()
         for order_number in range(1, n_orders + 1):
             order_id += 1
             is_last = order_number == n_orders
@@ -120,14 +122,29 @@ def generate_instacart_csvs(
                 }
             )
             n_items = int(rng.integers(*basket_size))
-            n_pref = max(1, int(round(n_items * 0.8)))
-            pool_pref = rng.choice(pref_pool, size=min(n_pref, len(pref_pool)), replace=False)
-            n_rand = n_items - len(pool_pref)
-            pool_rand = rng.choice(
-                products["product_id"].to_numpy(), size=max(0, n_rand), replace=False
+            # Real Instacart behavior: most items are REORDERS of products the
+            # user bought before (~59% in the real data). This is the dominant
+            # signal the two-tower model learns (context names literally
+            # contain many next-order products).
+            n_reorder = (
+                int(round(n_items * reorder_rate)) if len(bought) else 0
             )
-            basket = np.concatenate([pool_pref, pool_rand])
-            basket = pd.unique(basket)
+            n_reorder = min(n_reorder, len(bought))
+            reordered_ids = (
+                rng.choice(np.fromiter(bought, dtype=np.int64), size=n_reorder, replace=False)
+                if n_reorder
+                else np.array([], dtype=np.int64)
+            )
+            n_new = n_items - n_reorder
+            n_new_pref = max(1, int(round(n_new * 0.8))) if n_new > 0 else 0
+            new_pref = rng.choice(
+                pref_pool, size=min(n_new_pref, len(pref_pool)), replace=False
+            )
+            n_rand = max(0, n_new - len(new_pref))
+            new_rand = rng.choice(
+                products["product_id"].to_numpy(), size=n_rand, replace=False
+            )
+            basket = pd.unique(np.concatenate([reordered_ids, new_pref, new_rand]))
             target = train_rows if is_last else prior_rows
             for pos, pid in enumerate(basket, start=1):
                 target.append(
@@ -135,9 +152,10 @@ def generate_instacart_csvs(
                         "order_id": order_id,
                         "product_id": int(pid),
                         "add_to_cart_order": pos,
-                        "reordered": int(rng.random() < 0.5),
+                        "reordered": int(int(pid) in bought),
                     }
                 )
+                bought.add(int(pid))
 
     products.to_csv(data_dir / "products.csv", index=False)
     aisles.to_csv(data_dir / "aisles.csv", index=False)
