@@ -139,6 +139,10 @@ class TwoTowerTrainer:
             logger.info("%s", msg)
         self.processed_dir = processed_dir
         train_ds = load_from_disk(str(processed_dir / TRAIN_DATASET_SUBDIR))
+        self.eval_pairs = None
+        if (processed_dir / EVAL_DATASET_SUBDIR).exists():
+            eval_ds = load_from_disk(str(processed_dir / EVAL_DATASET_SUBDIR))
+            self.eval_pairs = (eval_ds["anchor"], eval_ds["positive"])
         with open(processed_dir / EVAL_QUERIES_FILENAME) as f:
             eval_queries = json.load(f)
         with open(processed_dir / EVAL_CORPUS_FILENAME) as f:
@@ -445,6 +449,10 @@ class TwoTowerTrainer:
                 "train_loss": float(np.mean(losses)) if losses else None,
                 "epoch_seconds": time.time() - epoch_start,
             }
+            eval_loss = self._eval_loss(params, tower_cfg, tokenizer, global_batch)
+            if eval_loss is not None:
+                entry["eval_loss"] = eval_loss
+                logger.info("  epoch %d eval_loss %.4f", epoch, eval_loss)
             if evaluator is not None:
                 metrics = evaluator(encoder.with_params(params))
                 entry.update(metrics)
@@ -475,6 +483,51 @@ class TwoTowerTrainer:
         save_tower(final_dir, params, tower_cfg, tokenizer)
         logger.info("[5/5] Done. Model saved to %s", final_dir)
         return {"history": history, "best_epoch": best_epoch, "final_dir": str(final_dir)}
+
+    def _eval_loss(
+        self, params, tower_cfg, tokenizer, batch_size: int, max_batches: int = 8
+    ) -> float | None:
+        """Deterministic MNRL loss on the held-out pair split (reference
+        evaluates loss on eval_dataset via its HF trainer)."""
+        if self.eval_pairs is None:
+            return None
+        anchors, positives = self.eval_pairs
+        if len(anchors) < batch_size:
+            return None
+        if not hasattr(self, "_eval_loss_fn"):
+            cfg_scale = self.cfg.loss_scale
+
+            @jax.jit
+            def loss_fn(p, a_ids, a_mask, p_ids, p_mask):
+                qa = encode(p, a_ids, a_mask, tower_cfg)
+                qp = encode(p, p_ids, p_mask, tower_cfg)
+                return mnrl_loss(qa, qp, scale=cfg_scale)
+
+            self._eval_loss_fn = loss_fn
+        if not hasattr(self, "_eval_loss_batches"):
+            batches = []
+            for bi, idx in enumerate(
+                no_duplicates_batches(anchors, positives, batch_size, seed=0)
+            ):
+                if bi >= max_batches:
+                    break
+                a_ids, a_mask = tokenizer.encode_batch(
+                    [anchors[i] for i in idx],
+                    max_seq_length=self.cfg.max_seq_length,
+                    pad_to=self.seq_len,
+                )
+                p_ids, p_mask = tokenizer.encode_batch(
+                    [positives[i] for i in idx],
+                    max_seq_length=self.cfg.max_seq_length,
+                    pad_to=self.seq_len,
+                )
+                batches.append((a_ids, a_mask, p_ids, p_mask))
+            self._eval_loss_batches = batches
+        losses = [
+            float(self._eval_loss_fn(params, *(jnp.asarray(x) for x in b)))
+            for b in self._eval_loss_batches
+        ]
+        return float(np.mean(losses)) if losses else None
 
     def _log_params(self):
         params_path = getattr(self, "processed_dir", self.cfg.processed_dir) / DATA_PREP_PARAMS_FILENAME
