@@ -112,6 +112,10 @@ class TrainConfig:
         self.save_total_limit = int(raw.get("save_total_limit", 2))
         self.logging_steps = int(raw.get("logging_steps", 100))
         self.resume = bool(raw.get("resume", False))
+        # Optimizer steps executed per device dispatch (lax.scan over stacked
+        # batches). >1 amortizes per-dispatch latency — the dominant per-step
+        # cost on tunneled/remote TPU setups.
+        self.steps_per_dispatch = int(raw.get("steps_per_dispatch", 1))
 
     @classmethod
     def load(cls, config_path: Path | None = None) -> "TrainConfig":
@@ -228,6 +232,33 @@ class TwoTowerTrainer:
         p_shard = param_shardings(self.mesh, tower_cfg)
         use_shard_map = self.dp > 1 and self.mesh.shape["model"] == 1
 
+        n_scan = self.cfg.steps_per_dispatch
+
+        def scan_steps(one_step):
+            """Wrap a single-step fn into a lax.scan over stacked batches.
+
+            ``batch`` arrays gain a leading [steps_per_dispatch] axis; the
+            step key is folded per sub-step. Returns the last loss.
+            """
+            if n_scan == 1:
+                return one_step
+
+            def multi(params, opt_state, batch, step_key):
+                keys = jax.random.split(step_key, n_scan)
+
+                def body(carry, xs):
+                    p, o = carry
+                    b, k = xs
+                    p, o, loss = one_step(p, o, b, k)
+                    return (p, o), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), (batch, keys)
+                )
+                return params, opt_state, losses[-1]
+
+            return multi
+
         if use_shard_map:
             from jax import shard_map
 
@@ -251,22 +282,17 @@ class TwoTowerTrainer:
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, loss
 
+            batch_spec = P(None, "data") if n_scan > 1 else P("data")
             mapped = shard_map(
-                local_step,
+                scan_steps(local_step),
                 mesh=self.mesh,
-                in_specs=(P(), P(), (P("data"),) * 4, P()),
+                in_specs=(P(), P(), (batch_spec,) * 4, P()),
                 out_specs=(P(), P(), P()),
                 check_vma=False,
             )
             return ("shard_map", jax.jit(mapped, donate_argnums=(0, 1))), p_shard
 
-        @partial(
-            jax.jit,
-            in_shardings=(p_shard, None, (dat, dat, dat, dat), rep),
-            out_shardings=(p_shard, None, rep),
-            donate_argnums=(0, 1),
-        )
-        def train_step(params, opt_state, batch, step_key):
+        def gspmd_step(params, opt_state, batch, step_key):
             a_ids, a_mask, p_ids, p_mask = batch
 
             def loss_fn(p):
@@ -280,6 +306,16 @@ class TwoTowerTrainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
+
+        dat_b = (
+            NamedSharding(self.mesh, P(None, "data")) if n_scan > 1 else dat
+        )
+        train_step = partial(
+            jax.jit,
+            in_shardings=(p_shard, None, (dat_b,) * 4, rep),
+            out_shardings=(p_shard, None, rep),
+            donate_argnums=(0, 1),
+        )(scan_steps(gspmd_step))
 
         return ("gspmd", train_step), p_shard
 
@@ -417,32 +453,52 @@ class TwoTowerTrainer:
         profile_dir = _os.getenv("ITOR_PROFILE_DIR")
         profiling = False
 
+        import itertools
+
+        n_scan = cfg.steps_per_dispatch
+
         for epoch in range(start_epoch, cfg.epochs + 1):
             epoch_start = time.time()
             losses = []
-            for step, idx in enumerate(
-                no_duplicates_batches(anchors, positives, global_batch, cfg.seed, epoch)
-            ):
+            batch_iter = no_duplicates_batches(
+                anchors, positives, global_batch, cfg.seed, epoch
+            )
+            step = 0
+            while True:
+                group = list(itertools.islice(batch_iter, n_scan))
+                if len(group) < n_scan:
+                    break  # drop ragged trailing group (drop_last semantics)
                 # Device-trace the first few steps when ITOR_PROFILE_DIR is set.
                 if profile_dir and epoch == start_epoch:
                     if step == 1:
                         jax.profiler.start_trace(profile_dir)
                         profiling = True
-                    elif step == 6 and profiling:
+                    elif step >= 6 and profiling:
                         jax.block_until_ready(params)
                         jax.profiler.stop_trace()
                         profiling = False
-                batch = assemble(idx)
+                if n_scan == 1:
+                    batch = assemble(group[0])
+                else:
+                    parts = [assemble(idx) for idx in group]
+                    batch = tuple(
+                        jnp.stack([p[j] for p in parts]) for j in range(4)
+                    )
                 step_key = jax.random.fold_in(base_key, global_step)
                 params, opt_state, loss = train_step(params, opt_state, batch, step_key)
-                global_step += 1
-                if step % cfg.logging_steps == 0:
+                global_step += n_scan
+                if step % max(1, cfg.logging_steps // n_scan) == 0:
                     loss_val = float(loss)
                     losses.append(loss_val)
                     lr = float(schedule(min(global_step, total_steps - 1)))
                     logger.info(
-                        "  epoch %d step %d loss %.4f lr %.2e", epoch, step, loss_val, lr
+                        "  epoch %d step %d loss %.4f lr %.2e",
+                        epoch,
+                        step * n_scan,
+                        loss_val,
+                        lr,
                     )
+                step += 1
 
             entry = {
                 "epoch": epoch,

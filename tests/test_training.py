@@ -133,3 +133,57 @@ def test_checkpoint_layout(trained):
     ck = ckpts[-1]
     assert (ck / "opt_state.msgpack").exists()
     assert (ck / "train_state.json").exists()
+
+
+def test_steps_per_dispatch_equivalence(tmp_path, monkeypatch):
+    """K-step scan dispatch equals K single-step dispatches (no dropout)."""
+    import dataclasses
+    import json
+
+    import numpy as np
+
+    import instacart_next_order_recommendation_tpu.train.trainer as tm
+    from instacart_next_order_recommendation_tpu.data import InstacartDataPrep
+    from instacart_next_order_recommendation_tpu.data.synthetic import (
+        generate_instacart_csvs,
+    )
+    from instacart_next_order_recommendation_tpu.models import load_tower
+
+    tiny = dataclasses.replace(
+        tm.MINILM_L6,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=4,
+        intermediate_size=64,
+        compute_dtype="float32",
+        hidden_dropout=0.0,
+    )
+    monkeypatch.setitem(tm._PRESETS, "minilm-l6", tiny)
+
+    data_dir = generate_instacart_csvs(tmp_path / "d", n_users=30, n_products=50, seed=2)
+    prep = InstacartDataPrep(data_dir=data_dir, output_dir=tmp_path / "p", eval_frac=0.25)
+    prep.prepare()
+
+    finals = {}
+    for spd in (1, 2):
+        out = tmp_path / f"m{spd}"
+        cfg = tm.TrainConfig(
+            {
+                "processed_dir": str(prep.effective_output_dir()),
+                "output_dir": str(out),
+                "max_seq_length": 32,
+                "epochs": 1,
+                "train_batch_size": 4,
+                "vocab_size": 400,
+                "run_information_retrieval_evaluator": False,
+                "steps_per_dispatch": spd,
+            }
+        )
+        tm.TwoTowerTrainer(cfg).train()
+        params, _, _ = load_tower(out / "final")
+        finals[spd] = params
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(finals[1]), jax.tree.leaves(finals[2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
