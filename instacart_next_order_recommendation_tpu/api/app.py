@@ -158,6 +158,11 @@ def main() -> None:
     args = parser.parse_args()
 
     setup_colored_logging(quiet_loggers=["jax"])
+    from instacart_next_order_recommendation_tpu.serve.recommender import (
+        apply_inference_device_override,
+    )
+
+    apply_inference_device_override()
     app = create_app(model_dir=args.model_dir, corpus_path=args.corpus_path)
     serve(app, host=args.host, port=args.port)
 

@@ -248,11 +248,27 @@ class InferenceConfig:
         return cls(load_yaml_config(config_path, DEFAULT_CONFIG_INFERENCE))
 
 
+def apply_inference_device_override() -> None:
+    """Honor the INFERENCE_DEVICE env override (reference :172-181 semantics:
+    explicit device choice wins over auto-detection). Values: tpu | cpu."""
+    import os
+
+    from instacart_next_order_recommendation_tpu.constants import ENV_INFERENCE_DEVICE
+
+    value = os.getenv(ENV_INFERENCE_DEVICE)
+    if value:
+        try:
+            jax.config.update("jax_platforms", value)
+        except Exception:
+            logger.warning("Could not apply INFERENCE_DEVICE=%s", value)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="Serve product recommendations (CLI)")
     parser.add_argument("--config", type=Path, default=None, help="Path to YAML config")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+    apply_inference_device_override()
 
     cfg = InferenceConfig.load(args.config)
     rec = Recommender(model_dir=cfg.model_dir, corpus_path=cfg.corpus, use_index=cfg.use_index)

@@ -307,3 +307,33 @@ class TestRealSocketServer:
         )
         assert r2.status_code == 200
         assert len(r2.json()["recommendations"]) == 2
+
+
+class TestHttpFramework:
+    def test_404_unknown_path(self, client):
+        assert client.get("/nope").status_code == 404
+
+    def test_405_wrong_method(self, client):
+        assert client.get("/recommend").status_code == 405
+
+    def test_invalid_json_422(self, client):
+        from instacart_next_order_recommendation_tpu.api.http import Request
+
+        req = Request("POST", "/feedback", {"content-type": "application/json"}, b"{not json")
+        resp = client.app.handle(req)
+        assert resp.status_code == 422
+
+    def test_empty_body_422(self, client):
+        from instacart_next_order_recommendation_tpu.api.http import Request
+
+        resp = client.app.handle(Request("POST", "/recommend", {}, b""))
+        assert resp.status_code == 422
+
+    def test_unhandled_error_500(self, client):
+        @client.app.post("/boom")
+        def boom(request):
+            raise RuntimeError("kaboom")
+
+        resp = client.post("/boom", json={})
+        assert resp.status_code == 500
+        assert resp.json() == {"detail": "Internal Server Error"}
