@@ -113,12 +113,74 @@ def _attention_pallas_fwd(q, k, v, mask, scale, interpret):
     return out, (q, k, v, mask)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    """Recompute-flash backward per (batch, head) program.
+
+    With P = softmax(scale·QKᵀ + bias):
+        dV = Pᵀ·dO,  dP = dO·Vᵀ,  D = rowsum(P∘dP),
+        dS = P∘(dP − D),  dQ = scale·dS·K,  dK = scale·dSᵀ·Q.
+    Everything stays in VMEM (S ≤ 512); f32 math, outputs cast back.
+    """
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    b = pl.program_id(0)
+    mask = mask_ref[pl.ds(b, 1), :]
+
+    def dot(a, bb, trans_b=False):
+        dims = (((1,), (1,)), ((), ())) if trans_b else (((1,), (0,)), ((), ()))
+        return jax.lax.dot_general(a, bb, dimension_numbers=dims, preferred_element_type=jnp.float32)
+
+    logits = dot(q, k, trans_b=True) * scale + (1.0 - mask.astype(jnp.float32)) * _NEG_INF
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (S, S) f32
+
+    dv = dot(jnp.transpose(p), do)  # (S, D)
+    dp = dot(do, v.astype(jnp.float32), trans_b=True)  # (S, S)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = dot(ds, k.astype(jnp.float32)) * scale
+    dk = dot(jnp.transpose(ds), q.astype(jnp.float32)) * scale
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _attention_pallas_bwd_impl(q, k, v, mask, g, scale, interpret):
+    batch, heads, seq, head_dim = q.shape
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale)
+    spec = pl.BlockSpec(
+        (1, 1, seq, head_dim), lambda b, h: (b, h, 0, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    mask_spec = pl.BlockSpec(
+        (batch, seq), lambda b, h: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, heads),
+        in_specs=[spec, spec, spec, mask_spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * batch * heads * seq * seq * head_dim,
+            bytes_accessed=8 * batch * heads * seq * head_dim * q.dtype.itemsize,
+            transcendentals=batch * heads * seq * seq,
+        ),
+        interpret=interpret,
+    )(q, k, v, mask, g)
+
+
 def _attention_pallas_bwd(scale, interpret, residuals, g):
-    # Recompute-based backward: differentiate the jnp reference (XLA fuses it).
     q, k, v, mask = residuals
-    dq, dk, dv = jax.vjp(
-        lambda q_, k_, v_: multi_head_attention_reference(q_, k_, v_, mask, scale), q, k, v
-    )[1](g)
+    dq, dk, dv = _attention_pallas_bwd_impl(q, k, v, mask, g, scale, interpret)
     return dq, dk, dv, None
 
 
