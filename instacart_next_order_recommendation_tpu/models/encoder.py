@@ -149,7 +149,9 @@ def _encoder_layer(
     k = proj(layer["k_w"], layer["k_b"])
     v = proj(layer["v_w"], layer["v_b"])
 
-    attn = multi_head_attention(q, k, v, mask, scale=1.0 / (hd**0.5))
+    attn = multi_head_attention(
+        q, k, v, mask, scale=1.0 / (hd**0.5), training=dropout_key is not None
+    )
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
     attn = attn @ layer["o_w"].astype(cdt) + layer["o_b"].astype(cdt)
 

@@ -188,11 +188,26 @@ _attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 
 def multi_head_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array, scale: float
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    scale: float,
+    training: bool = False,
 ) -> jax.Array:
-    """Dispatching entry point; see module docstring for shapes."""
+    """Dispatching entry point; see module docstring for shapes.
+
+    ``training=True`` defaults to the jnp/XLA path: at MiniLM shapes the
+    runtime is identical (dispatch-bound) but the Pallas fwd+bwd graph inside
+    the double-scan train step compiles ~10x slower on remote-compile
+    runtimes. Set ``ITOR_PALLAS_TRAIN=1`` to force kernels in training too.
+    """
+    import os
+
     from instacart_next_order_recommendation_tpu.ops import pallas_interpret, use_pallas
 
+    if training and os.getenv("ITOR_PALLAS_TRAIN", "").strip() not in ("1", "true"):
+        return multi_head_attention_reference(q, k, v, mask, scale)
     if use_pallas():
         return _attention_pallas(q, k, v, mask, scale, pallas_interpret())
     return multi_head_attention_reference(q, k, v, mask, scale)
