@@ -93,6 +93,9 @@ def create_app(
         app.state["recommender_factory"] = recommender_factory
 
     def startup(app: App) -> None:
+        from instacart_next_order_recommendation_tpu.utils.dotenv import load_dotenv
+
+        load_dotenv()
         logger.info("Starting recommendation API service")
         init_db()
         if not load_model_on_startup:

@@ -267,6 +267,9 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="Serve product recommendations (CLI)")
     parser.add_argument("--config", type=Path, default=None, help="Path to YAML config")
     args = parser.parse_args()
+    from instacart_next_order_recommendation_tpu.utils.dotenv import load_dotenv
+
+    load_dotenv()
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     apply_inference_device_override()
 

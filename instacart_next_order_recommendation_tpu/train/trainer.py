@@ -595,6 +595,9 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="Train the two-tower model")
     parser.add_argument("--config", type=Path, default=None, help="Path to YAML config")
     args = parser.parse_args()
+    from instacart_next_order_recommendation_tpu.utils.dotenv import load_dotenv
+
+    load_dotenv()
     setup_colored_logging(quiet_loggers=["jax", "datasets", "urllib3"])
     trainer = TwoTowerTrainer(TrainConfig.load(args.config))
     trainer.train()

@@ -82,3 +82,26 @@ def test_colored_logging_configures_root(capsys):
     logging.getLogger("x").info("hello-world")
     captured = capsys.readouterr()
     assert "hello-world" in captured.err
+
+
+class TestDotenv:
+    def test_load_and_precedence(self, tmp_path, monkeypatch):
+        from instacart_next_order_recommendation_tpu.utils.dotenv import load_dotenv
+
+        env_file = tmp_path / ".env"
+        env_file.write_text(
+            "# comment\nAPI_KEY=fromfile\nQUOTED='hello world'\nEMPTY=\nNOEQ\n"
+        )
+        monkeypatch.setenv("API_KEY", "fromenv")
+        monkeypatch.delenv("QUOTED", raising=False)
+        parsed = load_dotenv(env_file)
+        assert parsed["API_KEY"] == "fromfile"
+        import os
+
+        assert os.environ["API_KEY"] == "fromenv"  # existing env wins
+        assert os.environ["QUOTED"] == "hello world"
+
+    def test_missing_file_noop(self, tmp_path):
+        from instacart_next_order_recommendation_tpu.utils.dotenv import load_dotenv
+
+        assert load_dotenv(tmp_path / "absent.env") == {}
