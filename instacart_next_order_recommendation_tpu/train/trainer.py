@@ -537,6 +537,13 @@ class TwoTowerTrainer:
 
         final_dir = cfg.output_dir / FINAL_SUBDIR
         save_tower(final_dir, params, tower_cfg, tokenizer)
+        best_entry = next((h for h in history if h["epoch"] == best_epoch), None)
+        (cfg.output_dir / "best.json").write_text(
+            json.dumps(
+                {"best_epoch": best_epoch, "metric": BEST_METRIC, "entry": best_entry},
+                indent=2,
+            )
+        )
         logger.info("[5/5] Done. Model saved to %s", final_dir)
         return {"history": history, "best_epoch": best_epoch, "final_dir": str(final_dir)}
 
