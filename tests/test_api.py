@@ -337,3 +337,22 @@ class TestHttpFramework:
         resp = client.post("/boom", json={})
         assert resp.status_code == 500
         assert resp.json() == {"detail": "Internal Server Error"}
+
+
+class TestConcurrency:
+    def test_concurrent_requests_thread_safe(self, client):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def hit(i):
+            if i % 3 == 0:
+                return client.post(
+                    "/feedback",
+                    json={"request_id": f"r{i}", "event_type": "click", "product_id": "1"},
+                ).status_code
+            return client.post(
+                "/recommend", json={"user_context": f"ctx {i}", "top_k": 2}
+            ).status_code
+
+        with ThreadPoolExecutor(8) as ex:
+            codes = list(ex.map(hit, range(60)))
+        assert all(c in (200, 202) for c in codes)

@@ -144,3 +144,34 @@ def test_parity_with_hf_bert(tmp_path, rng):
         params, jnp.asarray(ids_np, jnp.int32), jnp.asarray(mask_np, jnp.int32), cfg
     )
     np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-5)
+
+
+@pytest.mark.parametrize("prefix", ["", "bert.", "0.auto_model."])
+def test_hf_loader_handles_prefixes(tmp_path, rng, prefix):
+    """sentence-transformers checkpoints wrap BERT weights under module
+    prefixes; the loader must resolve all observed variants."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel
+
+    from instacart_next_order_recommendation_tpu.models.hf_loader import load_hf_tower
+
+    hf_cfg = BertConfig(
+        vocab_size=50,
+        hidden_size=16,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        intermediate_size=32,
+        max_position_embeddings=32,
+    )
+    torch.manual_seed(0)
+    model = BertModel(hf_cfg)
+    sd = {prefix + k: v for k, v in model.state_dict().items()}
+    model_dir = tmp_path / f"hf_{prefix.strip('.') or 'bare'}"
+    model_dir.mkdir()
+    (model_dir / "config.json").write_text(hf_cfg.to_json_string())
+    torch.save(sd, model_dir / "pytorch_model.bin")
+
+    params, cfg, _ = load_hf_tower(model_dir)
+    assert cfg.hidden_size == 16
+    assert params["embeddings"]["word"].shape == (50, 16)
+    assert params["layers"]["ffn_w1"].shape == (1, 16, 32)

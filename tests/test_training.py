@@ -187,3 +187,45 @@ def test_steps_per_dispatch_equivalence(tmp_path, monkeypatch):
 
     for a, b in zip(jax.tree.leaves(finals[1]), jax.tree.leaves(finals[2])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_warm_start_from_own_checkpoint(tmp_path, monkeypatch):
+    """model_name pointing at a saved checkpoint dir continues fine-tuning."""
+    import dataclasses
+
+    import instacart_next_order_recommendation_tpu.train.trainer as tm
+    from instacart_next_order_recommendation_tpu.data import InstacartDataPrep
+    from instacart_next_order_recommendation_tpu.data.synthetic import (
+        generate_instacart_csvs,
+    )
+
+    tiny = dataclasses.replace(
+        tm.MINILM_L6,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=4,
+        intermediate_size=64,
+        compute_dtype="float32",
+    )
+    monkeypatch.setitem(tm._PRESETS, "minilm-l6", tiny)
+    data_dir = generate_instacart_csvs(tmp_path / "d", n_users=30, n_products=50, seed=4)
+    prep = InstacartDataPrep(data_dir=data_dir, output_dir=tmp_path / "p", eval_frac=0.25)
+    prep.prepare()
+
+    base_cfg = {
+        "processed_dir": str(prep.effective_output_dir()),
+        "max_seq_length": 32,
+        "epochs": 1,
+        "train_batch_size": 4,
+        "vocab_size": 400,
+        "run_information_retrieval_evaluator": False,
+    }
+    r1 = tm.TwoTowerTrainer(
+        tm.TrainConfig({**base_cfg, "output_dir": str(tmp_path / "m1")})
+    ).train()
+    r2 = tm.TwoTowerTrainer(
+        tm.TrainConfig(
+            {**base_cfg, "output_dir": str(tmp_path / "m2"), "model_name": r1["final_dir"]}
+        )
+    ).train()
+    assert (tmp_path / "m2" / "final" / "params.msgpack").exists()
