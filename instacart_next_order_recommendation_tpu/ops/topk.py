@@ -120,6 +120,11 @@ def cosine_topk_pallas(
     # so queries + catalog block + accumulators fit the ~16MB VMEM limit.
     while b * block_n * 4 > 4 * 1024 * 1024 and block_n > 128:
         block_n //= 2
+    if k > block_n:
+        # Exactness requires each block to surface its own top-k: a single
+        # block may hold more than block_n of the global winners otherwise.
+        # Large-b AND large-k requests fall back to the dense path.
+        return cosine_topk_reference(queries, catalog, k, n_valid=n_valid)
     n_blocks = pl.cdiv(n, block_n)
     n_padded = n_blocks * block_n
     if n_padded != n:

@@ -163,3 +163,14 @@ class TestMNRL:
         )
         out = float(sharded(jnp.asarray(q), jnp.asarray(p)))
         assert out == pytest.approx(global_loss, rel=1e-5)
+
+
+class TestTopKLargeK:
+    def test_k_exceeding_block_falls_back_exact(self, rng):
+        # k > block_n: per-block extraction would be inexact; must take the
+        # dense fallback and stay exact.
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        c = rng.standard_normal((1000, 16)).astype(np.float32)
+        s, i = cosine_topk_pallas(jnp.asarray(q), jnp.asarray(c), 200, block_n=128, interpret=True)
+        expect = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, :200]
+        np.testing.assert_array_equal(np.asarray(i), expect)
