@@ -50,6 +50,11 @@ class TowerConfig:
     hidden_dropout: float = 0.1
     max_seq_length: int = 256
     compute_dtype: str = "bfloat16"
+    # Rematerialize each encoder layer in the backward pass (jax.checkpoint):
+    # trades ~30% forward FLOPs for O(layers) activation memory — required for
+    # large-batch training (e.g. batch 512 seq 128 stores ~3GB of attention
+    # probabilities per layer without it).
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -209,6 +214,8 @@ def encode(
             layer, key = scanned
         return _encoder_layer(carry, layer, attention_mask, config, key), None
 
+    if config.remat:
+        body = jax.checkpoint(body)
     scanned_inputs = params["layers"] if layer_keys is None else (params["layers"], layer_keys)
     x, _ = jax.lax.scan(body, x, scanned_inputs)
 

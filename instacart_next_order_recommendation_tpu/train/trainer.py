@@ -116,6 +116,9 @@ class TrainConfig:
         # batches). >1 amortizes per-dispatch latency — the dominant per-step
         # cost on tunneled/remote TPU setups.
         self.steps_per_dispatch = int(raw.get("steps_per_dispatch", 1))
+        # Layer rematerialization; auto-on for large per-device batches where
+        # stored attention probabilities would blow HBM.
+        self.remat = bool(raw.get("remat", self.train_batch_size >= 256))
 
     @classmethod
     def load(cls, config_path: Path | None = None) -> "TrainConfig":
@@ -177,6 +180,7 @@ class TwoTowerTrainer:
                 preset,
                 vocab_size=tokenizer.vocab_size,
                 max_seq_length=self.cfg.max_seq_length,
+                remat=self.cfg.remat,
             )
             params = init_params(config, key)
             logger.info(
@@ -188,7 +192,9 @@ class TwoTowerTrainer:
                 raise FileNotFoundError(f"warm-start dir {name} has no vocab.txt")
             import dataclasses
 
-            config = dataclasses.replace(config, max_seq_length=self.cfg.max_seq_length)
+            config = dataclasses.replace(
+                config, max_seq_length=self.cfg.max_seq_length, remat=self.cfg.remat
+            )
             logger.info("[2/5] warm start from %s", name)
         return params, config, tokenizer
 
