@@ -141,14 +141,33 @@ def _encoder_layer(
     mask: jax.Array,
     config: TowerConfig,
     dropout_key: jax.Array | None,
+    model_axis: str | None = None,
 ) -> jax.Array:
-    """One post-LN BERT block. x: [B, S, H] (compute dtype)."""
+    """One post-LN BERT block. x: [B, S, H] (compute dtype).
+
+    ``model_axis`` marks a shard_map tensor-parallel forward: the layer
+    params are LOCAL Megatron shards (QKV/w1 column-parallel, O/w2
+    row-parallel; see parallel/shardings.py) and the block inserts the
+    tp_enter/tp_exit region markers so activations stay replicated and
+    gradients come out correct (parallel/tp.py). Hidden activations and all
+    layernorms remain full-width — only the head and FFN inner dimensions
+    are split.
+    """
     b, s, h = x.shape
-    nh, hd = config.num_heads, config.head_dim
+    hd = config.head_dim
     cdt = x.dtype
+    # Head count from the local shard width: num_heads/tp inside a TP region.
+    nh = layer["q_w"].shape[-1] // hd
+
+    if model_axis is not None:
+        from instacart_next_order_recommendation_tpu.parallel.tp import tp_enter, tp_exit
+
+        x_in = tp_enter(x, model_axis)
+    else:
+        x_in = x
 
     def proj(w, bias):
-        return (x @ w.astype(cdt) + bias.astype(cdt)).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        return (x_in @ w.astype(cdt) + bias.astype(cdt)).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
     q = proj(layer["q_w"], layer["q_b"])
     k = proj(layer["k_w"], layer["k_b"])
@@ -157,8 +176,11 @@ def _encoder_layer(
     attn = multi_head_attention(
         q, k, v, mask, scale=1.0 / (hd**0.5), training=dropout_key is not None
     )
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
-    attn = attn @ layer["o_w"].astype(cdt) + layer["o_b"].astype(cdt)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+    attn = attn @ layer["o_w"].astype(cdt)
+    if model_axis is not None:
+        attn = tp_exit(attn, model_axis)
+    attn = attn + layer["o_b"].astype(cdt)
 
     k1 = k2 = None
     if dropout_key is not None:
@@ -166,9 +188,13 @@ def _encoder_layer(
     attn = _dropout(attn, config.hidden_dropout, k1)
     x = _layer_norm(x + attn, layer["attn_ln_scale"], layer["attn_ln_bias"], config.layer_norm_eps).astype(cdt)
 
-    ffn = x @ layer["ffn_w1"].astype(cdt) + layer["ffn_b1"].astype(cdt)
+    ffn_in = tp_enter(x, model_axis) if model_axis is not None else x
+    ffn = ffn_in @ layer["ffn_w1"].astype(cdt) + layer["ffn_b1"].astype(cdt)
     ffn = jax.nn.gelu(ffn.astype(jnp.float32), approximate=False).astype(cdt)
-    ffn = ffn @ layer["ffn_w2"].astype(cdt) + layer["ffn_b2"].astype(cdt)
+    ffn = ffn @ layer["ffn_w2"].astype(cdt)
+    if model_axis is not None:
+        ffn = tp_exit(ffn, model_axis)
+    ffn = ffn + layer["ffn_b2"].astype(cdt)
     ffn = _dropout(ffn, config.hidden_dropout, k2)
     x = _layer_norm(x + ffn, layer["ffn_ln_scale"], layer["ffn_ln_bias"], config.layer_norm_eps).astype(cdt)
     return x
@@ -180,11 +206,15 @@ def encode(
     attention_mask: jax.Array,
     config: TowerConfig,
     dropout_key: jax.Array | None = None,
+    model_axis: str | None = None,
 ) -> jax.Array:
     """Tower forward: token ids -> unit-norm sentence embedding [B, hidden].
 
     ``dropout_key=None`` runs deterministically (eval/serve); a key enables
-    BERT-style hidden dropout for training.
+    BERT-style hidden dropout for training. ``model_axis`` runs the layers
+    against local tensor-parallel param shards inside shard_map (the dropout
+    key must then be identical across the model axis — fold in only the data
+    axis index).
     """
     cdt = jnp.dtype(config.compute_dtype)
     b, s = input_ids.shape
@@ -212,7 +242,7 @@ def encode(
             key = None
         else:
             layer, key = scanned
-        return _encoder_layer(carry, layer, attention_mask, config, key), None
+        return _encoder_layer(carry, layer, attention_mask, config, key, model_axis), None
 
     if config.remat:
         body = jax.checkpoint(body)

@@ -60,6 +60,49 @@ def param_specs(config: TowerConfig, tensor_parallel: bool) -> Params:
     }
 
 
+def _path_key(entry) -> str | None:
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return None
+
+
+def opt_state_specs(opt_state_shapes, param_spec_tree: Params):
+    """PartitionSpec pytree for an optax state, shaped like the state itself.
+
+    Optimizer moments (adam mu/nu, MultiSteps accumulators, ...) mirror the
+    param tree, so each state leaf whose trailing key path matches a param
+    path inherits that param's spec; everything else (step counts, empty
+    states) replicates. Used to pass the optimizer state through shard_map
+    with the same layout as the tensor-parallel params.
+
+    Args:
+        opt_state_shapes: ``jax.eval_shape(tx.init, params)`` result (or the
+            state itself — only the tree structure is used).
+        param_spec_tree: PartitionSpec pytree from :func:`param_specs`.
+    """
+    import jax.tree_util as jtu
+
+    param_leaves = jtu.tree_flatten_with_path(
+        param_spec_tree, is_leaf=lambda x: isinstance(x, P)
+    )[0]
+    by_path = {
+        tuple(_path_key(e) for e in path): spec for path, spec in param_leaves
+    }
+    max_depth = max((len(p) for p in by_path), default=0)
+
+    def leaf_spec(path, _leaf):
+        keys = tuple(_path_key(e) for e in path)
+        for k in range(min(len(keys), max_depth), 0, -1):
+            spec = by_path.get(keys[-k:])
+            if spec is not None:
+                return spec
+        return P()
+
+    flat, treedef = jtu.tree_flatten_with_path(opt_state_shapes)
+    return jtu.tree_unflatten(treedef, [leaf_spec(p, l) for p, l in flat])
+
+
 def param_shardings(mesh: Mesh, config: TowerConfig) -> Params:
     """NamedSharding pytree; TP engages when the mesh has a model axis > 1."""
     tp = mesh.shape[MODEL_AXIS] > 1

@@ -116,6 +116,16 @@ class TrainConfig:
         # batches). >1 amortizes per-dispatch latency — the dominant per-step
         # cost on tunneled/remote TPU setups.
         self.steps_per_dispatch = int(raw.get("steps_per_dispatch", 1))
+        # Train-step formulation: "auto" picks shard_map for dp-only meshes
+        # and GSPMD when tensor parallelism is on; "shard_map" forces the
+        # explicit-collectives step (Megatron TP against local shards, keeps
+        # Pallas kernels available on multi-device meshes); "gspmd" forces
+        # the single-jit step.
+        self.train_step_mode = str(raw.get("train_step_mode", "auto"))
+        if self.train_step_mode not in ("auto", "gspmd", "shard_map"):
+            raise ValueError(
+                f"train_step_mode must be auto|gspmd|shard_map, got {self.train_step_mode!r}"
+            )
         # Layer rematerialization; auto-on for large per-device batches where
         # stored attention probabilities would blow HBM.
         self.remat = bool(raw.get("remat", self.train_batch_size >= 256))
@@ -225,18 +235,30 @@ class TwoTowerTrainer:
           the mesh, batch sharded on ``data``, params sharded per the TP
           rules; MNRL computes the GLOBAL logits matrix so XLA inserts the
           positive all-gather and gradient psum itself.
-        - **shard_map** (dp-only): the step runs per-device on LOCAL shapes
-          with explicit ``all_gather`` (negatives, inside mnrl_loss) and
-          ``pmean`` (grads). Pallas kernels see local shapes here, so the
-          fused attention/pool kernels stay active on multi-chip TPU meshes
-          (a pallas_call is opaque to the GSPMD partitioner).
+        - **shard_map** (dp and dp x tp): the step runs per-device on LOCAL
+          shapes with explicit collectives — ``all_gather`` (negatives,
+          inside mnrl_loss), ``pmean`` over ``data`` (grads), and for tp > 1
+          the Megatron tp_enter/tp_exit psums over ``model`` inside the tower
+          (models/encoder.py, parallel/tp.py). Pallas kernels see local
+          shapes here, so the fused attention/pool kernels stay active on
+          multi-chip TPU meshes (a pallas_call is opaque to the GSPMD
+          partitioner). ``auto`` picks it for dp-only meshes; set
+          ``train_step_mode: shard_map`` to use it with tensor parallelism.
         """
-        from instacart_next_order_recommendation_tpu.parallel import param_shardings
+        from instacart_next_order_recommendation_tpu.parallel import (
+            opt_state_specs,
+            param_shardings,
+            param_specs,
+        )
 
         rep = NamedSharding(self.mesh, P())
         dat = NamedSharding(self.mesh, P("data"))
         p_shard = param_shardings(self.mesh, tower_cfg)
-        use_shard_map = self.dp > 1 and self.mesh.shape["model"] == 1
+        tp = self.mesh.shape["model"]
+        if self.cfg.train_step_mode == "auto":
+            use_shard_map = self.dp > 1 and tp == 1
+        else:
+            use_shard_map = self.cfg.train_step_mode == "shard_map"
 
         n_scan = self.cfg.steps_per_dispatch
 
@@ -268,32 +290,45 @@ class TwoTowerTrainer:
         if use_shard_map:
             from jax import shard_map
 
+            model_axis = "model" if tp > 1 else None
+
             def local_step(params, opt_state, batch, step_key):
                 a_ids, a_mask, p_ids, p_mask = batch  # local [B/dp, S] shards
-                # Decorrelate dropout across data shards.
+                # Decorrelate dropout across data shards ONLY: model-axis
+                # devices hold shards of the same example and must draw
+                # identical dropout masks.
                 step_key = jax.random.fold_in(step_key, jax.lax.axis_index("data"))
 
                 def loss_fn(p):
                     ka, kp = jax.random.split(step_key)
-                    qa = encode(p, a_ids, a_mask, tower_cfg, dropout_key=ka)
-                    qp = encode(p, p_ids, p_mask, tower_cfg, dropout_key=kp)
+                    qa = encode(p, a_ids, a_mask, tower_cfg, dropout_key=ka, model_axis=model_axis)
+                    qp = encode(p, p_ids, p_mask, tower_cfg, dropout_key=kp, model_axis=model_axis)
                     return mnrl_loss(
                         qa, qp, scale=self.cfg.loss_scale, axis_name="data"
                     )
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 loss = jax.lax.pmean(loss, "data")
+                # Grads of TP shards are shard-local; grads of replicated
+                # params come out FULL and identical across the model axis
+                # (tp_enter psums the activation cotangents) — only the data
+                # axis needs reducing.
                 grads = jax.lax.pmean(grads, "data")
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, loss
 
+            p_specs = param_specs(tower_cfg, tensor_parallel=tp > 1)
+            params_shape = jax.eval_shape(
+                lambda: init_params(tower_cfg, jax.random.key(0))
+            )
+            o_specs = opt_state_specs(jax.eval_shape(tx.init, params_shape), p_specs)
             batch_spec = P(None, "data") if n_scan > 1 else P("data")
             mapped = shard_map(
                 scan_steps(local_step),
                 mesh=self.mesh,
-                in_specs=(P(), P(), (batch_spec,) * 4, P()),
-                out_specs=(P(), P(), P()),
+                in_specs=(p_specs, o_specs, (batch_spec,) * 4, P()),
+                out_specs=(p_specs, o_specs, P()),
                 check_vma=False,
             )
             return ("shard_map", jax.jit(mapped, donate_argnums=(0, 1))), p_shard

@@ -123,6 +123,138 @@ def test_tp_grads_match_single_device(rng):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-4)
 
 
+def test_encode_tp_shardmap_matches_plain(rng):
+    """encode(model_axis=...) against local Megatron shards inside shard_map
+    reproduces the plain replicated forward exactly."""
+    from jax import shard_map
+
+    from instacart_next_order_recommendation_tpu.parallel import param_specs
+
+    params = init_params(TINY, jax.random.key(5))
+    ids = jnp.asarray(rng.integers(5, 256, (8, 16)), jnp.int32)
+    mask = (jnp.arange(16)[None, :] < 12).astype(jnp.int32) * jnp.ones((8, 1), jnp.int32)
+
+    ref = encode(params, ids, mask, TINY)
+
+    mesh = build_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    p_specs = param_specs(TINY, tensor_parallel=True)
+
+    def local_fwd(p, i, m):
+        return encode(p, i, m, TINY, model_axis="model")
+
+    fn = jax.jit(
+        shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(p_specs, P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+    )
+    placed = jax.device_put(params, param_shardings(mesh, TINY))
+    out = fn(placed, ids, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_tp_region_grads(rng):
+    """tp_enter/tp_exit gradients: a column->row parallel pair inside
+    shard_map matches the unsharded matmul chain's gradients."""
+    from jax import shard_map
+
+    from instacart_next_order_recommendation_tpu.parallel import tp_enter, tp_exit
+
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    x = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+
+    def ref_loss(x, w1, w2):
+        return jnp.sum(jnp.tanh(x @ w1) @ w2)
+
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(x, w1, w2)
+
+    def local_loss(x, w1, w2):
+        y = tp_exit(jnp.tanh(tp_enter(x, "model") @ w1) @ w2, "model")
+        return jnp.sum(y)
+
+    fn = jax.jit(
+        shard_map(
+            lambda *a: jax.grad(local_loss, argnums=(0, 1, 2))(*a),
+            mesh=mesh,
+            in_specs=(P(), P(None, "model"), P("model", None)),
+            out_specs=(P(), P(None, "model"), P("model", None)),
+            check_vma=False,
+        )
+    )
+    got = fn(x, w1, w2)
+    for g_ref, g_tp in zip(ref_grads, got):
+        np.testing.assert_allclose(np.asarray(g_tp), np.asarray(g_ref), atol=1e-5)
+
+
+def test_shardmap_tp_step_matches_gspmd_step(rng):
+    """One optimizer step of the dp x tp shard_map path (Megatron TP against
+    local shards) equals the GSPMD tp step."""
+    import optax
+
+    import instacart_next_order_recommendation_tpu.train.trainer as tm
+
+    params = jax.tree.map(np.asarray, init_params(TINY, jax.random.key(7)))
+    ids = jnp.asarray(rng.integers(5, 256, (16, 16)), jnp.int32)
+    mask = jnp.ones((16, 16), jnp.int32)
+    batch = (ids, mask, jnp.flip(ids, 0), mask)
+    key = jax.random.key(0)
+
+    results = {}
+    for mode in ("shard_map", "gspmd"):
+        cfg = tm.TrainConfig(
+            {"model_parallel": 2, "learning_rate": 1e-3, "train_step_mode": mode}
+        )
+        trainer = tm.TwoTowerTrainer(cfg)
+        tx = optax.adamw(1e-3)
+        (got_mode, step), p_shard = trainer._make_train_step(
+            dataclasses.replace(TINY, hidden_dropout=0.0), tx
+        )
+        assert got_mode == mode
+        placed = jax.device_put(params, p_shard)
+        opt_state = jax.jit(tx.init)(placed)
+        new_params, _, loss = step(placed, opt_state, batch, key)
+        results[mode] = (jax.tree.map(np.asarray, new_params), float(loss))
+
+    assert results["shard_map"][1] == pytest.approx(results["gspmd"][1], rel=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(results["shard_map"][0]), jax.tree.leaves(results["gspmd"][0])
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_train_step_mode_validated():
+    import instacart_next_order_recommendation_tpu.train.trainer as tm
+
+    with pytest.raises(ValueError, match="train_step_mode"):
+        tm.TrainConfig({"train_step_mode": "shardmap"})
+
+
+def test_opt_state_specs_layout():
+    """Adam moments inherit the param partition specs; counts replicate."""
+    import optax
+
+    from instacart_next_order_recommendation_tpu.parallel import (
+        opt_state_specs,
+        param_specs,
+    )
+
+    params = init_params(TINY, jax.random.key(0))
+    tx = optax.adamw(1e-3)
+    specs = opt_state_specs(
+        jax.eval_shape(tx.init, params), param_specs(TINY, tensor_parallel=True)
+    )
+    adam_state = specs[0]
+    assert adam_state.mu["layers"]["ffn_w1"] == P(None, None, "model")
+    assert adam_state.nu["layers"]["o_w"] == P(None, "model", None)
+    assert adam_state.mu["embeddings"]["word"] == P()
+    assert adam_state.count == P()
+
+
 def test_shardmap_step_matches_gspmd_step(rng, monkeypatch):
     """One optimizer step via the shard_map path equals the GSPMD path."""
     import optax
