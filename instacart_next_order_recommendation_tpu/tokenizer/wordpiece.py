@@ -47,28 +47,74 @@ def _is_punctuation(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+# CJK Unified Ideograph blocks (BERT tokenizes these one character per token).
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF),
+    (0x3400, 0x4DBF),
+    (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F),
+    (0x2B740, 0x2B81F),
+    (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF),
+    (0x2F800, 0x2FA1F),
+)
+
+
+def _is_cjk(cp: int) -> bool:
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
 def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
-    """BERT-style basic tokenization: NFD strip accents, lowercase, split punct."""
-    if lowercase:
-        text = text.lower()
-        text = unicodedata.normalize("NFD", text)
-        text = "".join(ch for ch in text if unicodedata.category(ch) != "Mn")
-    tokens: list[str] = []
-    current: list[str] = []
+    """BERT basic tokenization, matching HF's ``BasicTokenizer`` semantics:
+    clean text (drop controls/U+0000/U+FFFD, canonicalize whitespace), space
+    out CJK ideographs, NFC-normalize, whitespace-split, then per token
+    lowercase + NFD accent-strip (when ``lowercase``) and punctuation-split.
+    """
+    cleaned: list[str] = []
     for ch in text:
-        if ch.isspace():
-            if current:
-                tokens.append("".join(current))
-                current = []
-        elif _is_punctuation(ch):
-            if current:
-                tokens.append("".join(current))
-                current = []
-            tokens.append(ch)
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue
+        if _is_cjk(cp):
+            cleaned.append(f" {ch} ")
+        elif _is_whitespace(ch):
+            cleaned.append(" ")
         else:
-            current.append(ch)
-    if current:
-        tokens.append("".join(current))
+            cleaned.append(ch)
+    text = unicodedata.normalize("NFC", "".join(cleaned))
+
+    tokens: list[str] = []
+    for token in text.split():
+        if lowercase:
+            # Per-character lowercase (no Final_Sigma context): matches both
+            # HF's slow BertTokenizer (regex chunks of length 1) and the Rust
+            # fast tokenizers (char-wise to_lowercase).
+            token = "".join(ch.lower() for ch in token)
+            token = unicodedata.normalize("NFD", token)
+            token = "".join(ch for ch in token if unicodedata.category(ch) != "Mn")
+        current: list[str] = []
+        for ch in token:
+            if _is_punctuation(ch):
+                if current:
+                    tokens.append("".join(current))
+                    current = []
+                tokens.append(ch)
+            else:
+                current.append(ch)
+        if current:
+            tokens.append("".join(current))
     return tokens
 
 
@@ -239,23 +285,37 @@ class WordPieceTokenizer:
         shape entirely. ``pad_batch_to`` pads the batch dimension with empty
         rows (mask 0) for even device sharding.
 
-        ASCII batches route through the C++ fast path (native/wordpiece.cpp)
-        when available — identical output, ~an order of magnitude faster.
+        Batches route through the C++ fast path (native/wordpiece.cpp) when
+        available — identical output, ~an order of magnitude faster. Rows
+        with context-sensitive codepoints (combining marks, astral case
+        mappings) are re-encoded in Python; either way results match the
+        pure-Python path exactly.
         """
         native = self._get_native()
-        if native is not None and all(t.isascii() for t in texts):
+        if native is not None:
             full_len = pad_to if pad_to is not None else max_seq_length
             n_rows = pad_batch_to if pad_batch_to is not None else len(texts)
-            ids, mask, longest = native.encode_batch(
-                list(texts), full_len, n_rows, self.pad_id
-            )
-            if pad_to is None:
-                seq_len = bucket_length(longest, max_seq_length)
-                if seq_len < full_len:
-                    return np.ascontiguousarray(ids[:, :seq_len]), np.ascontiguousarray(
-                        mask[:, :seq_len]
-                    )
-            return ids, mask
+            # NUL bytes would truncate the C string; Python drops them, so
+            # stripping first is output-identical.
+            clean = [t.replace("\x00", "") if "\x00" in t else t for t in texts]
+            result = native.encode_batch(clean, full_len, n_rows, self.pad_id)
+            if result is not None:
+                ids, mask, longest, bailed = result
+                for i in np.flatnonzero(bailed):
+                    row = self.encode(texts[i], max_seq_length)
+                    if len(row) > full_len:
+                        row = row[:full_len]
+                        row[-1] = self.sep_id
+                    ids[i, : len(row)] = row
+                    mask[i, : len(row)] = 1
+                    longest = max(longest, len(row))
+                if pad_to is None:
+                    seq_len = bucket_length(longest, max_seq_length)
+                    if seq_len < full_len:
+                        return np.ascontiguousarray(ids[:, :seq_len]), np.ascontiguousarray(
+                            mask[:, :seq_len]
+                        )
+                return ids, mask
 
         encoded = [self.encode(t, max_seq_length) for t in texts]
         longest = max((len(e) for e in encoded), default=2)
@@ -265,7 +325,9 @@ class WordPieceTokenizer:
         input_ids = np.full((n_rows, seq_len), self.pad_id, dtype=np.int32)
         attention_mask = np.zeros((n_rows, seq_len), dtype=np.int32)
         for i, ids in enumerate(encoded):
-            ids = ids[:seq_len]
+            if len(ids) > seq_len:
+                ids = ids[:seq_len]
+                ids[-1] = self.sep_id  # rows always end with [SEP]
             input_ids[i, : len(ids)] = ids
             attention_mask[i, : len(ids)] = 1
         return input_ids, attention_mask

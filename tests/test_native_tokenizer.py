@@ -55,12 +55,61 @@ def test_batch_row_padding(tok):
     assert (ids[1:] == tok.pad_id).all()
 
 
-def test_non_ascii_falls_back(tok):
-    # Must not crash and must match Python output exactly (python path used).
-    texts = ["café au lait", "milk"]
+def test_unicode_handled_natively(tok):
+    # Accented/CJK/fullwidth/emoji text runs through the native path (no
+    # bail) and matches Python exactly.
+    texts = ["café au lait", "中文分词", "ＦＵＬＬ ｗｉｄｔｈ！", "emoji 🛒 cart", "ß İstanbul"]
+    native = tok._get_native()
+    _, _, _, bailed = native.encode_batch(texts, 32, len(texts), tok.pad_id)
+    assert bailed.sum() == 0
     ids, mask = tok.encode_batch(texts, max_seq_length=32)
     ids_p, mask_p = _python_batch(tok, texts, max_seq_length=32)
     np.testing.assert_array_equal(ids, ids_p)
+    np.testing.assert_array_equal(mask, mask_p)
+
+
+def test_context_sensitive_rows_bail_to_python(tok):
+    # Decomposed combining marks are context-sensitive under NFC: the native
+    # path must bail those rows and the wrapper must re-encode them so the
+    # final batch still matches pure Python.
+    texts = ["café decomposed", "milk", "marḱs"]
+    native = tok._get_native()
+    _, _, _, bailed = native.encode_batch(texts, 32, len(texts), tok.pad_id)
+    assert bailed[0] == 1 and bailed[1] == 0 and bailed[2] == 1
+    ids, mask = tok.encode_batch(texts, max_seq_length=32)
+    ids_p, mask_p = _python_batch(tok, texts, max_seq_length=32)
+    np.testing.assert_array_equal(ids, ids_p)
+    np.testing.assert_array_equal(mask, mask_p)
+
+
+def test_nul_and_control_chars(tok):
+    texts = ["ctrl\x07milk\x00shake", "a\x00b"]
+    ids, mask = tok.encode_batch(texts, max_seq_length=32)
+    ids_p, mask_p = _python_batch(tok, texts, max_seq_length=32)
+    np.testing.assert_array_equal(ids, ids_p)
+
+
+def test_unicode_fuzz_parity(tok):
+    import random
+
+    rng = random.Random(7)
+    pool = (
+        list(range(0x20, 0x250))
+        + list(range(0x370, 0x450))
+        + [0x4E00 + i for i in range(40)]
+        + [0x1F600 + i for i in range(20)]
+        + [0x2000 + i for i in range(0x30)]
+        + [0xFF00 + i for i in range(0x40)]
+        + [0x0301, 0x2028, 0xFE0F, 0x10400]
+    )
+    texts = [
+        "".join(chr(rng.choice(pool)) for _ in range(rng.randint(1, 40)))
+        for _ in range(120)
+    ]
+    ids, mask = tok.encode_batch(texts, max_seq_length=48)
+    ids_p, mask_p = _python_batch(tok, texts, max_seq_length=48)
+    np.testing.assert_array_equal(ids, ids_p)
+    np.testing.assert_array_equal(mask, mask_p)
 
 
 def test_native_faster_than_python(tok):
