@@ -45,6 +45,24 @@ def _resolve_corpus_path() -> Path:
     return resolve_corpus_with_hf_fallback(path)
 
 
+def maybe_wrap_micro_batcher(recommender):
+    """Wrap the recommender in a MicroBatcher when BATCH_WINDOW_MS > 0."""
+    from instacart_next_order_recommendation_tpu.constants import ENV_BATCH_WINDOW_MS
+
+    try:
+        window_ms = float(os.getenv(ENV_BATCH_WINDOW_MS) or 0.0)
+    except ValueError:
+        logger.warning("Invalid %s=%r; micro-batching disabled",
+                       ENV_BATCH_WINDOW_MS, os.getenv(ENV_BATCH_WINDOW_MS))
+        return recommender
+    if window_ms <= 0:
+        return recommender
+    from instacart_next_order_recommendation_tpu.serve.batching import MicroBatcher
+
+    logger.info("Micro-batching enabled: window %.1f ms", window_ms)
+    return MicroBatcher(recommender, window_ms=window_ms)
+
+
 def request_logging_middleware(request: Request, nxt) -> Response:
     start = time.time()
     req_id = request.header("x-request-id") or str(uuid4())
@@ -110,9 +128,8 @@ def create_app(
 
             factory = MonitoredRecommender
         logger.info("Loading recommender model_dir=%s corpus=%s", resolved_model, resolved_corpus)
-        app.state["recommender"] = factory(
-            model_dir=resolved_model, corpus_path=resolved_corpus
-        )
+        recommender = factory(model_dir=resolved_model, corpus_path=resolved_corpus)
+        app.state["recommender"] = maybe_wrap_micro_batcher(recommender)
         app.state["model_dir"] = resolved_model
         app.state["corpus_path"] = resolved_corpus
         app.state["ready"] = True

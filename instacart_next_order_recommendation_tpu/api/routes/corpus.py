@@ -82,7 +82,11 @@ def register(app: App) -> None:
             logger.exception("Failed to load recommender with uploaded corpus")
             raise ApiError(500, f"Failed to load recommender: {exc}") from exc
 
-        app.state["recommender"] = recommender
+        from instacart_next_order_recommendation_tpu.api.app import (
+            maybe_wrap_micro_batcher,
+        )
+
+        app.state["recommender"] = maybe_wrap_micro_batcher(recommender)
         app.state["corpus_path"] = temp_path
         app.state["ready"] = True
 

@@ -108,6 +108,14 @@ def register(app: App) -> None:
             exclude_ids = set(payload.exclude_product_ids or [])
             user_id_str = str(payload.user_id) if payload.user_id is not None else None
 
+            # Category filters are a TPU-native extension; only forward them
+            # when requested so reference-parity calls stay byte-identical.
+            filter_kwargs = {}
+            if payload.filter_aisles:
+                filter_kwargs["filter_aisles"] = payload.filter_aisles
+            if payload.filter_departments:
+                filter_kwargs["filter_departments"] = payload.filter_departments
+
             if isinstance(recommender, MonitoredRecommender) or hasattr(
                 recommender, "last_metrics"
             ):
@@ -116,12 +124,14 @@ def register(app: App) -> None:
                     top_k=payload.top_k,
                     user_id=user_id_str,
                     exclude_product_ids=exclude_ids,
+                    **filter_kwargs,
                 )
             else:
                 results = recommender.recommend(
                     query=retrieval_query,
                     top_k=payload.top_k,
                     exclude_product_ids=exclude_ids,
+                    **filter_kwargs,
                 )
 
             items = [

@@ -30,6 +30,15 @@ class RecommendationRequest(BaseModel):
     exclude_product_ids: List[str] = Field(
         default_factory=list, description="Product ids to exclude from the ranking."
     )
+    # TPU-native extensions beyond the reference surface: category filters
+    # applied device-side as a candidate mask in the top-k kernel.
+    filter_aisles: Optional[List[str]] = Field(
+        default=None, description="Restrict candidates to these aisles (case-insensitive)."
+    )
+    filter_departments: Optional[List[str]] = Field(
+        default=None,
+        description="Restrict candidates to these departments (case-insensitive).",
+    )
 
 
 class RecommendationItem(BaseModel):

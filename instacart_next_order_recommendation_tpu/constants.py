@@ -23,6 +23,8 @@ ENV_MAX_CORPUS_UPLOAD_PRODUCTS = "MAX_CORPUS_UPLOAD_PRODUCTS"
 ENV_CORPUS_HF_REPO = "CORPUS_HF_REPO"
 ENV_CORPUS_HF_REPO_TYPE = "CORPUS_HF_REPO_TYPE"
 ENV_INFERENCE_DEVICE = "INFERENCE_DEVICE"
+# Micro-batching window for /recommend (milliseconds; 0/unset = off).
+ENV_BATCH_WINDOW_MS = "BATCH_WINDOW_MS"
 
 # Config files (YAML)
 CONFIG_DIR = PROJECT_ROOT / "configs"

@@ -65,13 +65,19 @@ class ShardedCatalogIndex:
                 jnp.asarray(embeddings, dtype=self.dtype), sharding
             )
 
-    def _build_topk(self, k: int, batch: int):
+    def _build_topk(self, k: int, batch: int, has_mask: bool):
         if self.mesh is None or self.dp == 1:
             n_valid = self.n_total
 
             @jax.jit
-            def topk_fn(queries, catalog):
-                return cosine_topk(queries.astype(catalog.dtype), catalog, k, n_valid=n_valid)
+            def topk_fn(queries, catalog, mask=None):
+                return cosine_topk(
+                    queries.astype(catalog.dtype),
+                    catalog,
+                    k,
+                    n_valid=n_valid,
+                    candidate_mask=mask,
+                )
 
             return topk_fn
 
@@ -79,13 +85,20 @@ class ShardedCatalogIndex:
         shard_rows = self.shard_rows
         n_total = self.n_total
 
-        def local_topk(queries, catalog_shard):
+        def local_topk(queries, catalog_shard, mask_shard=None):
             # queries replicated; catalog_shard [shard_rows, D] local block.
             queries = queries.astype(catalog_shard.dtype)
             shard_idx = jax.lax.axis_index(DATA_AXIS)
             start = shard_idx * shard_rows
             n_valid = jnp.clip(n_total - start, 0, shard_rows)
-            s, i = cosine_topk(queries, catalog_shard, min(k, shard_rows), n_valid=n_valid, local=True)
+            s, i = cosine_topk(
+                queries,
+                catalog_shard,
+                min(k, shard_rows),
+                n_valid=n_valid,
+                local=True,
+                candidate_mask=mask_shard,
+            )
             i = i + start
             # Gather candidates from every shard: [dp, B, k_local].
             all_s = jax.lax.all_gather(s, DATA_AXIS)
@@ -97,25 +110,55 @@ class ShardedCatalogIndex:
             top_i = jnp.take_along_axis(all_i, pos, axis=1)
             return top_s, top_i
 
+        in_specs = (P(), P(DATA_AXIS, None)) + ((P(DATA_AXIS),) if has_mask else ())
         fn = shard_map(
             local_topk,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None)),
+            in_specs=in_specs,
             out_specs=(P(), P()),
             check_vma=False,
         )
         return jax.jit(fn)
 
-    def topk_device(self, queries: np.ndarray | jax.Array, k: int):
-        """Async top-k: returns device arrays without host sync (pipelines)."""
+    def topk_device(
+        self,
+        queries: np.ndarray | jax.Array,
+        k: int,
+        candidate_mask: np.ndarray | jax.Array | None = None,
+    ):
+        """Async top-k: returns device arrays without host sync (pipelines).
+
+        ``candidate_mask`` is an optional [n_total] row filter (1 = eligible)
+        applied device-side before top-k — exact filtered retrieval without
+        fetch-k escalation (serve aisle/department filters).
+        """
         k = min(k, self.n_total)
         queries = jnp.asarray(queries)
-        cache_key = (k, queries.shape[0])
+        cache_key = (k, queries.shape[0], candidate_mask is not None)
         if cache_key not in self._topk_cache:
-            self._topk_cache[cache_key] = self._build_topk(k, queries.shape[0])
-        return self._topk_cache[cache_key](queries, self._catalog)
+            self._topk_cache[cache_key] = self._build_topk(
+                k, queries.shape[0], candidate_mask is not None
+            )
+        fn = self._topk_cache[cache_key]
+        if candidate_mask is None:
+            return fn(queries, self._catalog)
+        mask = np.asarray(candidate_mask, np.int32)
+        padded_rows = self.shard_rows * self.dp
+        if padded_rows != mask.shape[0]:
+            mask = np.pad(mask, (0, padded_rows - mask.shape[0]))
+        mask_dev = jnp.asarray(mask)
+        if self.mesh is not None and self.dp > 1:
+            mask_dev = jax.device_put(
+                mask_dev, NamedSharding(self.mesh, P(DATA_AXIS))
+            )
+        return fn(queries, self._catalog, mask_dev)
 
-    def topk(self, queries: np.ndarray | jax.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def topk(
+        self,
+        queries: np.ndarray | jax.Array,
+        k: int,
+        candidate_mask: np.ndarray | jax.Array | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Global exact top-k: returns (scores [B, k], indices [B, k])."""
-        s, i = self.topk_device(queries, k)
+        s, i = self.topk_device(queries, k, candidate_mask=candidate_mask)
         return np.asarray(s), np.asarray(i)

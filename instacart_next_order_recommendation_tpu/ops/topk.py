@@ -33,12 +33,18 @@ DEFAULT_BLOCK_N = 2048
 
 
 def cosine_topk_reference(
-    queries: jax.Array, catalog: jax.Array, k: int, n_valid: jax.Array | int | None = None
+    queries: jax.Array,
+    catalog: jax.Array,
+    k: int,
+    n_valid: jax.Array | int | None = None,
+    candidate_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """jnp oracle: [B, D] x [N, D] -> top-k (scores [B, k], indices [B, k]).
 
     ``n_valid`` masks out padding rows at the tail of the catalog (used when
-    the catalog is padded for even device sharding).
+    the catalog is padded for even device sharding). ``candidate_mask`` is an
+    optional [N] int32/bool row filter (1 = candidate eligible), used by
+    serve-side aisle/department filters.
     """
     scores = jax.lax.dot_general(
         queries,
@@ -49,10 +55,14 @@ def cosine_topk_reference(
     if n_valid is not None:
         col = jnp.arange(catalog.shape[0])[None, :]
         scores = jnp.where(col < n_valid, scores, _NEG_INF)
+    if candidate_mask is not None:
+        scores = jnp.where(candidate_mask[None, :] != 0, scores, _NEG_INF)
     return jax.lax.top_k(scores, k)
 
 
-def _topk_block_kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref, *, k, block_n):
+def _topk_block_kernel(
+    n_valid_ref, q_ref, c_ref, mask_ref, out_s_ref, out_i_ref, *, k, block_n
+):
     block_idx = pl.program_id(0)
     start = block_idx * block_n
     n_valid = n_valid_ref[0]
@@ -69,7 +79,10 @@ def _topk_block_kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref, *, k, bl
     b = scores.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), dimension=1)
     gcol = col + start
-    scores = jnp.where(gcol < n_valid, scores, _NEG_INF)
+    valid = gcol < n_valid
+    if mask_ref is not None:
+        valid = valid & (mask_ref[:] != 0)  # (1, block_n) broadcasts over B
+    scores = jnp.where(valid, scores, _NEG_INF)
 
     # Iterative max extraction. The (b, k_pad) accumulators ride the fori_loop
     # carry and update via elementwise `where` on a k-iota — Mosaic forbids
@@ -109,6 +122,7 @@ def cosine_topk_pallas(
     block_n: int = DEFAULT_BLOCK_N,
     interpret: bool = False,
     n_valid: jax.Array | int | None = None,
+    candidate_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k via blockwise Pallas kernel + candidate merge."""
     b, d = queries.shape
@@ -124,7 +138,9 @@ def cosine_topk_pallas(
         # Exactness requires each block to surface its own top-k: a single
         # block may hold more than block_n of the global winners otherwise.
         # Large-b AND large-k requests fall back to the dense path.
-        return cosine_topk_reference(queries, catalog, k, n_valid=n_valid)
+        return cosine_topk_reference(
+            queries, catalog, k, n_valid=n_valid, candidate_mask=candidate_mask
+        )
     n_blocks = pl.cdiv(n, block_n)
     n_padded = n_blocks * block_n
     if n_padded != n:
@@ -137,13 +153,25 @@ def cosine_topk_pallas(
         queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
     k_pad = -(-k_local // 128) * 128
 
+    has_mask = candidate_mask is not None
+    in_specs = [
+        pl.BlockSpec((b_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [queries, catalog]
+    if has_mask:
+        mask = jnp.asarray(candidate_mask, jnp.int32).reshape(1, n)
+        if n_padded != n:
+            mask = jnp.pad(mask, ((0, 0), (0, n_padded - n)))
+        in_specs.append(
+            pl.BlockSpec((1, block_n), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+        )
+        operands.append(mask)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((b_pad, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             # Leading grid axis keeps the constrained last-two dims == (b, k).
             pl.BlockSpec((1, b_pad, k_pad), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -151,11 +179,15 @@ def cosine_topk_pallas(
         ],
     )
 
-    def kernel(n_valid_ref, q_ref, c_ref, out_s_ref, out_i_ref):
+    def kernel(n_valid_ref, q_ref, c_ref, *rest):
+        mask_ref, (out_s_ref, out_i_ref) = (
+            (rest[0], rest[1:]) if has_mask else (None, rest)
+        )
         _topk_block_kernel(
             n_valid_ref,
             q_ref,
             c_ref,
+            mask_ref,
             out_s_ref.at[0],
             out_i_ref.at[0],
             k=k_local,
@@ -175,7 +207,7 @@ def cosine_topk_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(n_valid, dtype=jnp.int32).reshape(1), queries, catalog)
+    )(jnp.asarray(n_valid, dtype=jnp.int32).reshape(1), *operands)
 
     cand_s = jnp.transpose(cand_s[:, :b, :k_local], (1, 0, 2)).reshape(b, n_blocks * k_local)
     cand_i = jnp.transpose(cand_i[:, :b, :k_local], (1, 0, 2)).reshape(b, n_blocks * k_local)
@@ -190,11 +222,14 @@ def cosine_topk(
     k: int,
     n_valid: jax.Array | int | None = None,
     local: bool = False,
+    candidate_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dispatching entry point: exact brute-force cosine top-k.
 
     ``local=True`` marks a call made inside shard_map (operands are local
     shards), where the Pallas kernel is safe on any device topology.
+    ``candidate_mask`` ([N] int32/bool, 1 = eligible) restricts the candidate
+    pool device-side (aisle/department filters).
     """
     import jax as _jax
 
@@ -202,5 +237,14 @@ def cosine_topk(
 
     pallas_ok = use_pallas() or (local and _jax.default_backend() == "tpu")
     if pallas_ok and k <= DEFAULT_BLOCK_N:
-        return cosine_topk_pallas(queries, catalog, k, interpret=pallas_interpret(), n_valid=n_valid)
-    return cosine_topk_reference(queries, catalog, k, n_valid=n_valid)
+        return cosine_topk_pallas(
+            queries,
+            catalog,
+            k,
+            interpret=pallas_interpret(),
+            n_valid=n_valid,
+            candidate_mask=candidate_mask,
+        )
+    return cosine_topk_reference(
+        queries, catalog, k, n_valid=n_valid, candidate_mask=candidate_mask
+    )

@@ -1,0 +1,176 @@
+"""Request micro-batching: coalesce concurrent /recommend calls into one
+device dispatch.
+
+The reference serves strictly one query per request
+(/root/reference/src/inference/serve_recommendations.py:206-225). On TPU the
+encoder+top-k cost per dispatch is dominated by fixed overhead at batch 1, so
+under concurrent load it is nearly free to batch: the first request in an
+idle window becomes the *leader*, sleeps ``window_ms``, then drains every
+request that arrived meanwhile, runs ONE batched encode + fused top-k over
+the catalog, and distributes the per-row results. Requests are encoded with
+bucketed batch shapes so each size compiles once.
+
+Drop-in recommender-compatible: exposes ``recommend`` with the same signature
+and a thread-local ``last_metrics``; everything else delegates to the wrapped
+recommender. Filtered requests (aisle/department masks differ per request)
+bypass batching. Enabled via ``BATCH_WINDOW_MS`` (see api/app.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from instacart_next_order_recommendation_tpu.serve.recommender import (
+    RecommendationMetrics,
+)
+
+logger = logging.getLogger(__name__)
+
+_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def _bucket(n: int) -> int:
+    for b in _BATCH_BUCKETS:
+        if b >= n:
+            return b
+    return n
+
+
+class _Slot:
+    __slots__ = ("query", "fetch_k", "event", "scores", "indices", "error", "encode_ms", "sim_ms")
+
+    def __init__(self, query: str, fetch_k: int):
+        self.query = query
+        self.fetch_k = fetch_k
+        self.event = threading.Event()
+        self.scores: np.ndarray | None = None
+        self.indices: np.ndarray | None = None
+        self.error: BaseException | None = None
+        self.encode_ms = 0.0
+        self.sim_ms = 0.0
+
+
+class MicroBatcher:
+    """Coalesces concurrent recommend() calls within a time window."""
+
+    def __init__(self, recommender, window_ms: float = 4.0, max_batch: int = 64):
+        self._rec = recommender
+        self._window_s = window_ms / 1000.0
+        self._max_batch = max_batch
+        self._lock = threading.Lock()
+        self._pending: list[_Slot] = []
+        self._tls = threading.local()
+        self.window_ms = window_ms
+        # Objects without the batched internals (e.g. test doubles) pass
+        # straight through to their own recommend().
+        self._passthrough = not all(
+            hasattr(recommender, a) for a in ("encoder", "index", "_take_top")
+        )
+
+    # Delegate everything the routes touch (pid_to_text, corpus_path, ...).
+    def __getattr__(self, name):
+        return getattr(self._rec, name)
+
+    @property
+    def last_metrics(self) -> Optional[RecommendationMetrics]:
+        return getattr(self._tls, "last_metrics", None)
+
+    def recommend(
+        self,
+        query: str,
+        top_k: int = 10,
+        user_id: Optional[str] = None,
+        exclude_product_ids: set[str] | None = None,
+        filter_aisles: list[str] | None = None,
+        filter_departments: list[str] | None = None,
+    ) -> list[tuple[str, float]]:
+        if self._passthrough:
+            return self._rec.recommend(
+                query, top_k=top_k, exclude_product_ids=exclude_product_ids
+            )
+        if filter_aisles or filter_departments:
+            # Per-request candidate masks are not batchable; direct path.
+            return self._rec.recommend(
+                query,
+                top_k=top_k,
+                exclude_product_ids=exclude_product_ids,
+                filter_aisles=filter_aisles,
+                filter_departments=filter_departments,
+            )
+
+        start = time.time()
+        excluded = exclude_product_ids or set()
+        fetch_k = min(top_k + len(excluded), len(self._rec.product_ids))
+        slot = _Slot(query, fetch_k)
+
+        with self._lock:
+            self._pending.append(slot)
+            is_leader = len(self._pending) == 1
+
+        if is_leader:
+            time.sleep(self._window_s)
+            # One atomic drain: everything that arrived during the window is
+            # this leader's responsibility (chunked to max_batch); anything
+            # arriving after the drain sees an empty queue and elects itself.
+            with self._lock:
+                drained, self._pending = self._pending, []
+            for lo in range(0, len(drained), self._max_batch):
+                self._process(drained[lo : lo + self._max_batch])
+        elif not slot.event.wait(timeout=30.0 + self._window_s):
+            raise TimeoutError("micro-batch leader did not complete in time")
+
+        if slot.error is not None:
+            raise slot.error
+
+        results = self._rec._take_top(slot.scores, slot.indices, top_k, excluded)
+        total_ms = (time.time() - start) * 1000
+        self._tls.last_metrics = RecommendationMetrics(
+            user_id=user_id or "anonymous",
+            query_embedding_time_ms=slot.encode_ms,
+            similarity_compute_time_ms=slot.sim_ms,
+            total_latency_ms=total_ms,
+            num_recommendations=len(results),
+            top_score=results[0][1] if results else 0.0,
+            avg_score=sum(s for _, s in results) / len(results) if results else 0.0,
+            timestamp=time.time(),
+        )
+        return results
+
+    def _process(self, batch: list[_Slot]) -> None:
+        try:
+            queries = [s.query for s in batch]
+            fetch_k = max(s.fetch_k for s in batch)
+            k_bucket = next((b for b in (16, 32, 64, 128, 256) if b >= fetch_k), fetch_k)
+            k_bucket = min(k_bucket, len(self._rec.product_ids))
+            pad_rows = _bucket(len(queries))
+
+            t0 = time.time()
+            emb = self._rec.encoder.encode_device(queries, pad_batch_to=pad_rows)
+            encode_ms = (time.time() - t0) * 1000
+            t1 = time.time()
+            scores, indices = self._rec.index.topk(np.asarray(emb), k_bucket)
+            sim_ms = (time.time() - t1) * 1000
+            if len(batch) > 1:
+                logger.info(
+                    "micro_batch size=%d k=%d encode_ms=%.1f sim_ms=%.1f",
+                    len(batch),
+                    k_bucket,
+                    encode_ms,
+                    sim_ms,
+                )
+            for row, s in enumerate(batch):
+                s.scores = scores[row, : s.fetch_k]
+                s.indices = indices[row, : s.fetch_k]
+                s.encode_ms = encode_ms
+                s.sim_ms = sim_ms
+        except BaseException as exc:  # noqa: BLE001 - propagate to every waiter
+            for s in batch:
+                s.error = exc
+        finally:
+            for s in batch:
+                s.event.set()

@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import re
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -77,6 +78,7 @@ class Recommender:
         self.corpus_path = Path(corpus_path).resolve()
         self.product_ids, self.product_texts = self._load_corpus()
         self.pid_to_text = dict(zip(self.product_ids, self.product_texts))
+        self._build_category_masks()
         self.encoder = TextEncoder.load(self.model_dir)
         self.product_embeddings = self._load_or_build_embeddings(batch_size, use_index)
         if mesh is None and jax.device_count() > 1:
@@ -110,6 +112,57 @@ class Recommender:
         ids = list(corpus.keys())
         return ids, [corpus[pid] for pid in ids]
 
+    # --------------------------------------------------------------- categories
+
+    _CATEGORY_RE = re.compile(r"Aisle:\s*(.+?)\.\s*Department:\s*(.+?)\.\s*$")
+
+    def _build_category_masks(self) -> None:
+        """Parse aisle/department from the product text template
+        ("Product: X. Aisle: Y. Department: Z.", reference
+        prepare_instacart_sbert.py:185-193) into per-value row masks for
+        device-side filtered retrieval."""
+        n = len(self.product_texts)
+        self._aisle_rows: dict[str, list[int]] = {}
+        self._department_rows: dict[str, list[int]] = {}
+        for row, text in enumerate(self.product_texts):
+            m = self._CATEGORY_RE.search(text)
+            if not m:
+                continue
+            self._aisle_rows.setdefault(m.group(1).strip().lower(), []).append(row)
+            self._department_rows.setdefault(m.group(2).strip().lower(), []).append(row)
+        self._n_rows = n
+
+    def _category_mask(
+        self,
+        filter_aisles: list[str] | None,
+        filter_departments: list[str] | None,
+    ) -> np.ndarray | None:
+        """[N] int32 mask (1 = eligible): OR within a filter list, AND across
+        the two lists. None when no filter is active."""
+        if not filter_aisles and not filter_departments:
+            return None
+        mask = np.ones(self._n_rows, dtype=bool)
+        for values, rows_by_value in (
+            (filter_aisles, self._aisle_rows),
+            (filter_departments, self._department_rows),
+        ):
+            if values:
+                group = np.zeros(self._n_rows, dtype=bool)
+                for v in values:
+                    rows = rows_by_value.get(str(v).strip().lower())
+                    if rows:
+                        group[rows] = True
+                mask &= group
+        return mask.astype(np.int32)
+
+    @property
+    def aisles(self) -> list[str]:
+        return sorted(self._aisle_rows)
+
+    @property
+    def departments(self) -> list[str]:
+        return sorted(self._department_rows)
+
     def _load_or_build_embeddings(self, batch_size: int, use_index: bool) -> np.ndarray:
         disk_index = EmbeddingIndex(self.corpus_path, self.model_dir)
         if use_index:
@@ -129,19 +182,23 @@ class Recommender:
 
     # ------------------------------------------------------------------ query
 
-    def _rank(self, query: str, fetch_k: int) -> tuple[np.ndarray, np.ndarray]:
+    def _rank(
+        self, query: str, fetch_k: int, candidate_mask: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         # Round k up to a small bucket so each distinct request shape doesn't
         # recompile the fused program; slice back after.
         k_bucket = next((b for b in (16, 32, 64, 128, 256) if b >= fetch_k), fetch_k)
         k_bucket = min(k_bucket, len(self.product_ids))
-        if self._fused is not None:
+        if self._fused is not None and candidate_mask is None:
             ids, mask = self.encoder.tokenizer.encode_batch(
                 [query], max_seq_length=self.encoder.max_seq_length
             )
             scores, indices = self._fused.topk(ids, mask, k_bucket)
         else:
             query_emb = self.encoder.encode([query], batch_size=1)
-            scores, indices = self.index.topk(query_emb, k_bucket)
+            scores, indices = self.index.topk(
+                query_emb, k_bucket, candidate_mask=candidate_mask
+            )
         return scores[:, :fetch_k], indices[:, :fetch_k]
 
     def recommend(
@@ -149,18 +206,30 @@ class Recommender:
         query: str,
         top_k: int = 10,
         exclude_product_ids: set[str] | None = None,
+        filter_aisles: list[str] | None = None,
+        filter_departments: list[str] | None = None,
     ) -> list[tuple[str, float]]:
-        """Top-k (product_id, score); excluded ids skipped after ranking."""
+        """Top-k (product_id, score); excluded ids skipped after ranking.
+
+        ``filter_aisles``/``filter_departments`` restrict the candidate pool
+        device-side (masked retrieval) — a TPU-native extension beyond the
+        reference's exclude-ids-only surface.
+        """
         excluded = exclude_product_ids or set()
         fetch_k = min(top_k + len(excluded), len(self.product_ids))
-        scores, indices = self._rank(query, fetch_k)
+        mask = self._category_mask(filter_aisles, filter_departments)
+        scores, indices = self._rank(query, fetch_k, candidate_mask=mask)
         return self._take_top(scores[0], indices[0], top_k, excluded)
+
+    _MASKED_OUT = -1e29  # scores below this are masked-out sentinel rows
 
     def _take_top(
         self, scores: np.ndarray, indices: np.ndarray, top_k: int, excluded: set[str]
     ) -> list[tuple[str, float]]:
         results: list[tuple[str, float]] = []
         for score, idx in zip(scores, indices):
+            if score <= self._MASKED_OUT:  # fewer eligible candidates than k
+                break
             pid = self.product_ids[int(idx)]
             if pid in excluded:
                 continue
@@ -184,6 +253,8 @@ class MonitoredRecommender(Recommender):
         top_k: int = 10,
         user_id: Optional[str] = None,
         exclude_product_ids: set[str] | None = None,
+        filter_aisles: list[str] | None = None,
+        filter_departments: list[str] | None = None,
     ) -> list[tuple[str, float]]:
         start = time.time()
         encode_start = time.time()
@@ -192,8 +263,9 @@ class MonitoredRecommender(Recommender):
 
         excluded = exclude_product_ids or set()
         fetch_k = min(top_k + len(excluded), len(self.product_ids))
+        mask = self._category_mask(filter_aisles, filter_departments)
         sim_start = time.time()
-        scores, indices = self.index.topk(query_emb, fetch_k)
+        scores, indices = self.index.topk(query_emb, fetch_k, candidate_mask=mask)
         sim_ms = (time.time() - sim_start) * 1000
 
         results = self._take_top(scores[0], indices[0], top_k, excluded)

@@ -34,13 +34,22 @@ def make_mock_recommender(**kwargs):
     )
     rec.calls = []
 
-    def recommend(query, top_k=10, user_id=None, exclude_product_ids=None):
+    def recommend(
+        query,
+        top_k=10,
+        user_id=None,
+        exclude_product_ids=None,
+        filter_aisles=None,
+        filter_departments=None,
+    ):
         rec.calls.append(
             {
                 "query": query,
                 "top_k": top_k,
                 "user_id": user_id,
                 "exclude_product_ids": exclude_product_ids,
+                "filter_aisles": filter_aisles,
+                "filter_departments": filter_departments,
             }
         )
         results = [("101", 0.9), ("102", 0.8), ("103", 0.7)]
@@ -123,6 +132,28 @@ class TestRecommend:
         assert "101" not in pids
         rec = client.app.state["recommender"]
         assert rec.calls[-1]["exclude_product_ids"] == {"101"}
+
+    def test_category_filters_passthrough(self, client):
+        r = client.post(
+            "/recommend",
+            json={
+                "user_context": "x",
+                "top_k": 5,
+                "filter_aisles": ["milk"],
+                "filter_departments": ["dairy eggs"],
+            },
+        )
+        assert r.status_code == 200
+        rec = client.app.state["recommender"]
+        assert rec.calls[-1]["filter_aisles"] == ["milk"]
+        assert rec.calls[-1]["filter_departments"] == ["dairy eggs"]
+
+    def test_no_filters_means_no_filter_kwargs(self, client):
+        r = client.post("/recommend", json={"user_context": "x", "top_k": 3})
+        assert r.status_code == 200
+        rec = client.app.state["recommender"]
+        assert rec.calls[-1]["filter_aisles"] is None
+        assert rec.calls[-1]["filter_departments"] is None
 
     def test_user_id_lookup_from_eval_queries(self, client, tmp_path):
         import json as json_mod

@@ -1,0 +1,161 @@
+"""Micro-batching window tests: result parity, coalescing, error paths."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from instacart_next_order_recommendation_tpu.serve import Recommender
+from instacart_next_order_recommendation_tpu.serve.batching import MicroBatcher
+
+from tests.helpers import make_corpus, make_tiny_model_dir, write_corpus_json
+
+
+@pytest.fixture(scope="module")
+def rec(tmp_path_factory):
+    base = tmp_path_factory.mktemp("batching")
+    corpus = make_corpus(40)
+    model_dir = make_tiny_model_dir(base, corpus)
+    corpus_path = write_corpus_json(base, corpus)
+    return Recommender(model_dir=model_dir, corpus_path=corpus_path)
+
+
+class _TopkSpy:
+    def __init__(self, index):
+        self._index = index
+        self.batch_sizes = []
+
+    def topk(self, queries, k, candidate_mask=None):
+        self.batch_sizes.append(np.asarray(queries).shape[0])
+        return self._index.topk(queries, k, candidate_mask=candidate_mask)
+
+    def __getattr__(self, name):
+        return getattr(self._index, name)
+
+
+def test_single_request_matches_direct(rec):
+    batcher = MicroBatcher(rec, window_ms=1.0)
+    direct = rec.recommend("organic milk", top_k=5)
+    batched = batcher.recommend("organic milk", top_k=5)
+    assert batched == direct
+    m = batcher.last_metrics
+    assert m is not None and m.num_recommendations == 5
+
+
+def test_concurrent_requests_coalesce(rec):
+    spy = _TopkSpy(rec.index)
+    batcher = MicroBatcher(rec, window_ms=60.0)
+    batcher._rec = _RecView(rec, spy)
+
+    queries = [f"organic milk {i % 4}" for i in range(8)]
+    results: dict[int, list] = {}
+
+    def worker(i):
+        results[i] = batcher.recommend(queries[i], top_k=3)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+        time.sleep(0.002)  # all land inside the 60 ms window
+    for t in threads:
+        t.join()
+
+    for i in range(8):
+        direct = rec.recommend(queries[i], top_k=3)
+        assert [p for p, _ in results[i]] == [p for p, _ in direct], i
+        # scores match up to batched-matmul reduction-order noise
+        np.testing.assert_allclose(
+            [s for _, s in results[i]], [s for _, s in direct], atol=1e-5
+        )
+    # at least one coalesced multi-row dispatch happened
+    assert max(spy.batch_sizes) > 1
+
+
+class _RecView:
+    """Recommender facade with a spied index (keeps the real encoder/corpus)."""
+
+    def __init__(self, rec, index):
+        self._inner = rec
+        self.index = index
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_per_request_exclusions_in_one_batch(rec):
+    batcher = MicroBatcher(rec, window_ms=50.0)
+    base = rec.recommend("organic milk", top_k=5)
+    excl = {base[0][0]}
+    out: dict[str, list] = {}
+
+    def plain():
+        out["plain"] = batcher.recommend("organic milk", top_k=5)
+
+    def excluded():
+        out["excl"] = batcher.recommend(
+            "organic milk", top_k=5, exclude_product_ids=excl
+        )
+
+    t1, t2 = threading.Thread(target=plain), threading.Thread(target=excluded)
+    t1.start(); time.sleep(0.002); t2.start()
+    t1.join(); t2.join()
+    assert [p for p, _ in out["plain"]] == [p for p, _ in base]
+    assert all(pid not in excl for pid, _ in out["excl"])
+    direct_excl = rec.recommend("organic milk", top_k=5, exclude_product_ids=excl)
+    assert [p for p, _ in out["excl"]] == [p for p, _ in direct_excl]
+
+
+def test_filtered_requests_bypass_batching(rec):
+    batcher = MicroBatcher(rec, window_ms=1.0)
+    direct = rec.recommend("milk", top_k=5, filter_aisles=["a1"])
+    assert batcher.recommend("milk", top_k=5, filter_aisles=["a1"]) == direct
+
+
+def test_error_propagates_to_all_waiters(rec):
+    class BoomEncoder:
+        def encode_device(self, *a, **kw):
+            raise RuntimeError("boom")
+
+    class Boom:
+        product_ids = rec.product_ids
+        encoder = BoomEncoder()
+
+        def __getattr__(self, name):
+            return getattr(rec, name)
+
+    batcher = MicroBatcher(Boom(), window_ms=30.0)
+    errors = []
+
+    def worker():
+        try:
+            batcher.recommend("milk", top_k=3)
+        except RuntimeError as exc:
+            errors.append(str(exc))
+
+    threads = [threading.Thread(target=worker) for _ in range(3)]
+    for t in threads:
+        t.start()
+        time.sleep(0.002)
+    for t in threads:
+        t.join()
+    assert errors == ["boom"] * 3
+
+
+def test_app_wraps_when_env_set(tmp_path, monkeypatch):
+    from instacart_next_order_recommendation_tpu.api.app import create_app
+    from instacart_next_order_recommendation_tpu.api.http import TestClient
+    from tests.test_api import make_mock_recommender
+
+    monkeypatch.setenv("FEEDBACK_DB_PATH", str(tmp_path / "fb.db"))
+    monkeypatch.setenv("BATCH_WINDOW_MS", "2")
+    app = create_app(
+        model_dir=tmp_path,
+        corpus_path=tmp_path / "c.json",
+        recommender_factory=make_mock_recommender,
+    )
+    with TestClient(app) as c:
+        assert isinstance(app.state["recommender"], MicroBatcher)
+        r = c.post("/recommend", json={"user_context": "x", "top_k": 2})
+        assert r.status_code == 200
+        assert len(r.json()["recommendations"]) == 2

@@ -99,6 +99,35 @@ class TestShardedCatalogIndex:
         np.testing.assert_allclose(s, es, atol=1e-5)
         np.testing.assert_array_equal(i, ei)
 
+    def _expect_masked(self, q, c, k, mask):
+        scores = q @ c.T
+        scores = np.where(mask[None, :] != 0, scores, -np.inf)
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(scores, idx, axis=1), idx
+
+    @pytest.mark.parametrize("mesh_on", [False, True])
+    def test_candidate_mask_exact(self, rng, mesh_on):
+        mesh = build_mesh(MeshConfig()) if mesh_on else None
+        q, c = self._data(rng, 203)
+        mask = (rng.random(203) < 0.4).astype(np.int32)
+        index = ShardedCatalogIndex(c, mesh=mesh)
+        s, i = index.topk(q, 10, candidate_mask=mask)
+        es, ei = self._expect_masked(q, c, 10, mask)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        np.testing.assert_array_equal(i, ei)
+        assert all(mask[j] == 1 for j in i.ravel())
+
+    def test_mask_with_fewer_than_k_candidates(self, rng):
+        q, c = self._data(rng, 100)
+        mask = np.zeros(100, np.int32)
+        mask[[3, 50, 97]] = 1
+        index = ShardedCatalogIndex(c, mesh=None)
+        s, i = index.topk(q, 10, candidate_mask=mask)
+        # exactly 3 real candidates; the rest are -inf sentinel rows
+        assert (s[:, :3] > -1e29).all()
+        assert (s[:, 3:] <= -1e29).all()
+        assert set(i[:, :3].ravel()) <= {3, 50, 97}
+
 
 @pytest.fixture(scope="module")
 def served(tmp_path_factory):
@@ -152,6 +181,55 @@ class TestRecommender:
     def test_corpus_key_order_is_ranking_order(self, served):
         *_, rec = served
         assert rec.product_ids == list(make_corpus(40).keys())
+
+    def test_category_parsing(self, served):
+        *_, rec = served
+        assert rec.aisles == [f"a{i}" for i in range(5)]
+        assert rec.departments == [f"d{i}" for i in range(3)]
+
+    def test_aisle_filter_restricts_candidates(self, served):
+        *_, corpus, rec = served
+        results = rec.recommend("organic milk", top_k=8, filter_aisles=["a1"])
+        assert results  # aisle a1 has 8 of 40 products
+        for pid, _ in results:
+            assert "Aisle: a1." in corpus[pid]
+        # filtered top-k == brute-force rank restricted to the aisle
+        full = rec.recommend("organic milk", top_k=40)
+        expect = [pid for pid, _ in full if "Aisle: a1." in corpus[pid]][: len(results)]
+        assert [pid for pid, _ in results] == expect
+
+    def test_department_and_aisle_filters_intersect(self, served):
+        *_, corpus, rec = served
+        results = rec.recommend(
+            "bread", top_k=10, filter_aisles=["a0", "a1"], filter_departments=["d0"]
+        )
+        for pid, _ in results:
+            assert "Department: d0." in corpus[pid]
+            assert ("Aisle: a0." in corpus[pid]) or ("Aisle: a1." in corpus[pid])
+
+    def test_filter_fewer_candidates_than_k(self, served):
+        *_, corpus, rec = served
+        # a2 ∩ d2 is small; results must not be padded with masked rows
+        results = rec.recommend(
+            "rice", top_k=10, filter_aisles=["a2"], filter_departments=["d2"]
+        )
+        n_eligible = sum(
+            1 for t in corpus.values() if "Aisle: a2." in t and "Department: d2." in t
+        )
+        assert len(results) == min(10, n_eligible)
+        assert all(s > -1e29 for _, s in results)
+
+    def test_unknown_filter_value_gives_empty(self, served):
+        *_, rec = served
+        assert rec.recommend("milk", top_k=5, filter_aisles=["nope"]) == []
+
+    def test_filter_with_exclusion(self, served):
+        *_, corpus, rec = served
+        base = rec.recommend("milk", top_k=5, filter_aisles=["a1"])
+        excl = {base[0][0]}
+        out = rec.recommend("milk", top_k=5, filter_aisles=["a1"], exclude_product_ids=excl)
+        assert all(pid not in excl for pid, _ in out)
+        assert [p for p, _ in out[: len(base) - 1]] == [p for p, _ in base[1:]]
 
 
 class TestBf16Index:

@@ -115,6 +115,26 @@ class TestCosineTopK:
         _, idx = cosine_topk_pallas(q, c, 3, block_n=128, interpret=True)
         np.testing.assert_array_equal(np.asarray(idx[0]), [0, 1, 2])
 
+    def test_candidate_mask_pallas_matches_reference(self, rng):
+        d, n, k = 32, 300, 9
+        q = rng.standard_normal((3, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        mask = (rng.random(n) < 0.3).astype(np.int32)
+        ref_s, ref_i = cosine_topk_reference(
+            jnp.asarray(q), jnp.asarray(c), k, candidate_mask=jnp.asarray(mask)
+        )
+        out_s, out_i = cosine_topk_pallas(
+            jnp.asarray(q),
+            jnp.asarray(c),
+            k,
+            block_n=128,
+            interpret=True,
+            candidate_mask=jnp.asarray(mask),
+        )
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_i), np.asarray(ref_i))
+        assert all(mask[j] == 1 for j in np.asarray(out_i).ravel())
+
 
 class TestMNRL:
     def test_loss_value_manual(self):
