@@ -73,7 +73,13 @@ class Recommender:
         batch_size: int = 64,
         use_index: bool = True,
         mesh=None,
+        ann: bool = False,
+        ann_nlist: int | None = None,
+        ann_nprobe: int = 8,
     ):
+        """``ann=True`` swaps the exact brute-force index for the IVF
+        approximate index (index/ivf.py) — for catalogs too large for the
+        full scan. The exact scan is the default (reference contract)."""
         self.model_dir = self._resolve_model_dir(model_dir)
         self.corpus_path = Path(corpus_path).resolve()
         self.product_ids, self.product_texts = self._load_corpus()
@@ -81,6 +87,14 @@ class Recommender:
         self._build_category_masks()
         self.encoder = TextEncoder.load(self.model_dir)
         self.product_embeddings = self._load_or_build_embeddings(batch_size, use_index)
+        if ann:
+            from instacart_next_order_recommendation_tpu.index import IVFCatalogIndex
+
+            self.index = IVFCatalogIndex(
+                self.product_embeddings, nlist=ann_nlist, nprobe=ann_nprobe
+            )
+            self._fused = None
+            return
         if mesh is None and jax.device_count() > 1:
             mesh = build_mesh(MeshConfig())
         self.index = ShardedCatalogIndex(self.product_embeddings, mesh)
@@ -314,6 +328,10 @@ class InferenceConfig:
         self.query = raw.get("query")
         self.eval_query_id = raw.get("eval_query_id")
         self.top_k = int(raw.get("top_k", 10))
+        # ANN (IVF) option for very large catalogs; exact scan is default.
+        self.ann = bool(raw.get("ann", False))
+        self.ann_nlist = int(raw["ann_nlist"]) if raw.get("ann_nlist") else None
+        self.ann_nprobe = int(raw.get("ann_nprobe", 8))
 
     @classmethod
     def load(cls, config_path: Path | None = None) -> "InferenceConfig":
@@ -346,7 +364,14 @@ def main() -> None:
     apply_inference_device_override()
 
     cfg = InferenceConfig.load(args.config)
-    rec = Recommender(model_dir=cfg.model_dir, corpus_path=cfg.corpus, use_index=cfg.use_index)
+    rec = Recommender(
+        model_dir=cfg.model_dir,
+        corpus_path=cfg.corpus,
+        use_index=cfg.use_index,
+        ann=cfg.ann,
+        ann_nlist=cfg.ann_nlist,
+        ann_nprobe=cfg.ann_nprobe,
+    )
 
     if cfg.eval_query_id:
         queries_path = cfg.corpus.parent / EVAL_QUERIES_FILENAME

@@ -1,0 +1,99 @@
+"""IVF approximate index tests: recall vs the exact scan, exactness at full
+probe, candidate-mask support, and Recommender integration."""
+
+import numpy as np
+import pytest
+
+from instacart_next_order_recommendation_tpu.index import (
+    IVFCatalogIndex,
+    ShardedCatalogIndex,
+)
+
+
+def _clustered_data(rng, n=4000, d=32, n_clusters=50, b=32):
+    """Unit-norm embeddings with cluster structure (like a trained catalog)."""
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, n)
+    emb = centers[assign] + 0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    # queries near cluster centers (realistic retrieval load)
+    qc = rng.integers(0, n_clusters, b)
+    q = centers[qc] + 0.25 * rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q.astype(np.float32), emb
+
+
+def test_recall_vs_exact(rng):
+    q, emb = _clustered_data(rng)
+    exact = ShardedCatalogIndex(emb, mesh=None)
+    ivf = IVFCatalogIndex(emb, nlist=64, nprobe=8, seed=0)
+    _, ei = exact.topk(q, 10)
+    _, ai = ivf.topk(q, 10)
+    overlap = np.mean(
+        [len(set(ei[r]) & set(ai[r])) / 10.0 for r in range(len(q))]
+    )
+    assert overlap >= 0.9, overlap
+
+
+def test_full_probe_is_exact(rng):
+    q, emb = _clustered_data(rng, n=800, b=8)
+    exact = ShardedCatalogIndex(emb, mesh=None)
+    ivf = IVFCatalogIndex(emb, nlist=16, nprobe=16, seed=0)
+    es, ei = exact.topk(q, 10)
+    as_, ai = ivf.topk(q, 10)
+    np.testing.assert_array_equal(ai, ei)
+    np.testing.assert_allclose(as_, es, atol=1e-5)
+
+
+def test_more_probes_more_recall(rng):
+    q, emb = _clustered_data(rng)
+    _, ei = ShardedCatalogIndex(emb, mesh=None).topk(q, 10)
+
+    def recall(nprobe):
+        ivf = IVFCatalogIndex(emb, nlist=64, nprobe=nprobe, seed=0)
+        _, ai = ivf.topk(q, 10)
+        return np.mean([len(set(ei[r]) & set(ai[r])) / 10.0 for r in range(len(q))])
+
+    assert recall(32) >= recall(2)
+
+
+def test_candidate_mask(rng):
+    q, emb = _clustered_data(rng, n=1000, b=8)
+    mask = (rng.random(1000) < 0.3).astype(np.int32)
+    ivf = IVFCatalogIndex(emb, nlist=16, nprobe=16, seed=0)  # full probe: exact
+    s, i = ivf.topk(q, 10, candidate_mask=mask)
+    assert all(mask[j] == 1 for j in i.ravel() if s.ravel()[list(i.ravel()).index(j)] > -1e29)
+    exact = ShardedCatalogIndex(emb, mesh=None)
+    es, ei = exact.topk(q, 10, candidate_mask=mask)
+    np.testing.assert_array_equal(i, ei)
+
+
+def test_every_row_lands_in_exactly_one_bucket(rng):
+    _, emb = _clustered_data(rng, n=777, b=1)
+    ivf = IVFCatalogIndex(emb, nlist=20, nprobe=4, seed=1)
+    ids = np.asarray(ivf._bucket_ids)
+    real = ids[ids >= 0]
+    assert len(real) == 777
+    assert len(np.unique(real)) == 777
+
+
+def test_recommender_ann_integration(tmp_path_factory, rng):
+    from instacart_next_order_recommendation_tpu.serve import Recommender
+    from tests.helpers import make_corpus, make_tiny_model_dir, write_corpus_json
+
+    base = tmp_path_factory.mktemp("ann")
+    corpus = make_corpus(60)
+    model_dir = make_tiny_model_dir(base, corpus)
+    corpus_path = write_corpus_json(base, corpus)
+    rec = Recommender(
+        model_dir=model_dir, corpus_path=corpus_path, ann=True, ann_nlist=8, ann_nprobe=8
+    )
+    results = rec.recommend("organic milk", top_k=5)
+    assert len(results) == 5
+    # full probe == exact: must match the brute-force recommender
+    exact = Recommender(model_dir=model_dir, corpus_path=corpus_path)
+    assert [p for p, _ in results] == [p for p, _ in exact.recommend("organic milk", top_k=5)]
+    # filters work through the ANN path too
+    filtered = rec.recommend("organic milk", top_k=5, filter_aisles=["a1"])
+    assert all("Aisle: a1." in corpus[p] for p, _ in filtered)
