@@ -64,6 +64,22 @@ def init_db() -> Path:
         cur.execute(
             "CREATE INDEX IF NOT EXISTS idx_feedback_created ON feedback_events(created_at)"
         )
+        # Server-side request-context store (TPU-native extension beyond the
+        # reference): lets the retrain pipeline join feedback events to the
+        # full serving context without clients echoing it back in metadata.
+        cur.execute(
+            """
+            CREATE TABLE IF NOT EXISTS request_contexts (
+                request_id TEXT PRIMARY KEY,
+                user_id TEXT,
+                user_context TEXT NOT NULL,
+                created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP
+            )
+            """
+        )
+        cur.execute(
+            "CREATE INDEX IF NOT EXISTS idx_context_created ON request_contexts(created_at)"
+        )
         conn.commit()
     finally:
         conn.close()
@@ -120,5 +136,48 @@ def record_events(events: Iterable[FeedbackEventRecord]) -> None:
     try:
         conn.executemany(_INSERT_SQL, rows)
         conn.commit()
+    finally:
+        conn.close()
+
+
+def record_request_context(
+    request_id: str, user_context: str, user_id: Optional[str] = None
+) -> None:
+    """Persist the serving context for a request (feeds the retrain loop).
+
+    Opt-out via STORE_REQUEST_CONTEXTS=0 (the reference stores only a
+    client-provided context hash, /root/reference/src/api/feedback_store.py:90).
+    """
+    if os.getenv("STORE_REQUEST_CONTEXTS", "1").strip() in ("0", "false"):
+        return
+    db_path = init_db()
+    conn = sqlite3.connect(db_path)
+    try:
+        conn.execute(
+            "INSERT OR REPLACE INTO request_contexts (request_id, user_id, user_context)"
+            " VALUES (?, ?, ?)",
+            (request_id, user_id, user_context),
+        )
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def load_context_events(
+    db_path: Path, since: str | None = None
+) -> list[tuple[str, str, str]]:
+    """(event_type, user_context, product_id) rows for retraining: feedback
+    events joined to the server-side request-context store."""
+    conn = sqlite3.connect(db_path)
+    try:
+        sql = (
+            "SELECT e.event_type, c.user_context, e.product_id "
+            "FROM feedback_events e JOIN request_contexts c USING (request_id)"
+        )
+        params: tuple = ()
+        if since:
+            sql += " WHERE e.created_at >= ?"
+            params = (since,)
+        return [(str(a), str(b), str(c)) for a, b, c in conn.execute(sql, params)]
     finally:
         conn.close()

@@ -163,6 +163,17 @@ def register(app: App) -> None:
             RECOMMENDATION_REQUESTS_TOTAL.labels(status="success").inc()
             logger.info("recommendation_served request_id=%s top_k=%d", request_id, len(items))
 
+            # Persist the serving context so feedback joins back to it for
+            # retraining (best-effort; never fails the request).
+            try:
+                from instacart_next_order_recommendation_tpu.api.feedback_store import (
+                    record_request_context,
+                )
+
+                record_request_context(request_id, retrieval_query, user_id_str)
+            except Exception:  # noqa: BLE001
+                logger.exception("failed to persist request context")
+
             response = RecommendationResponse(
                 request_id=request_id,
                 recommendations=items,

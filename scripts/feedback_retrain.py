@@ -64,21 +64,35 @@ def build_weighted_pairs(
 
 
 def extract_context_events(db_path: Path, since: str | None = None) -> list[tuple[str, str, str]]:
-    """Pull (event_type, user_context, product_id) rows with stored context."""
+    """Pull (event_type, user_context, product_id) rows with a serving context.
+
+    One row per feedback event. The serving context comes from the
+    server-side ``request_contexts`` table (written by /recommend) when the
+    event's request_id has one; otherwise from client-echoed
+    ``metadata.user_context`` (legacy fallback).
+    """
     import sqlite3
 
     if not db_path.exists():
         return []
+
+    from instacart_next_order_recommendation_tpu.api.feedback_store import (
+        load_context_events,
+    )
+
+    out = list(load_context_events(db_path, since=since))
+
     conn = sqlite3.connect(db_path)
     try:
         rows = conn.execute(
             "SELECT event_type, metadata, product_id FROM feedback_events "
-            "WHERE metadata IS NOT NULL" + (" AND created_at >= ?" if since else ""),
+            "WHERE metadata IS NOT NULL AND (request_id IS NULL OR request_id NOT IN "
+            "(SELECT request_id FROM request_contexts))"
+            + (" AND created_at >= ?" if since else ""),
             (since,) if since else (),
         ).fetchall()
     finally:
         conn.close()
-    out = []
     for event_type, metadata, product_id in rows:
         try:
             meta = json.loads(metadata)
@@ -86,30 +100,19 @@ def extract_context_events(db_path: Path, since: str | None = None) -> list[tupl
             continue
         context = meta.get("user_context") if isinstance(meta, dict) else None
         if context:
-            out.append((event_type, str(context), str(product_id)))
+            out.append((str(event_type), str(context), str(product_id)))
     return out
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser(description="Build a feedback-weighted retrain dataset")
-    parser.add_argument("--processed-dir", type=Path, default=None)
-    parser.add_argument("--output-dir", type=Path, required=False, default=None)
-    parser.add_argument("--since", default=None)
-    args = parser.parse_args()
-    setup_colored_logging()
-
-    init_db()
-    db_path = get_db_path()
-    processed_dir, _ = resolve_processed_dir(
-        args.processed_dir or DEFAULT_PROCESSED_DIR, DEFAULT_PROCESSED_DIR
-    )
+def build_dataset(
+    processed_dir: Path, db_path: Path, since: str | None = None, output_dir: Path | None = None
+) -> Path | None:
+    """Mine feedback into a merged processed-format dataset dir (or None)."""
     corpus = json.loads((processed_dir / EVAL_CORPUS_FILENAME).read_text())
-
-    events = extract_context_events(db_path, since=args.since)
+    events = extract_context_events(db_path, since=since)
     anchors, positives = build_weighted_pairs(events, corpus)
     if not anchors:
-        print("No feedback events with user_context metadata found; nothing to build.")
-        return
+        return None
 
     from datasets import Dataset, concatenate_datasets, load_from_disk
 
@@ -117,7 +120,7 @@ def main() -> None:
     feedback_ds = Dataset.from_dict({"anchor": anchors, "positive": positives})
     merged = concatenate_datasets([base_train, feedback_ds])
 
-    out_dir = args.output_dir or processed_dir.parent / f"{processed_dir.name}_fb"
+    out_dir = output_dir or processed_dir.parent / f"{processed_dir.name}_fb"
     out_dir.mkdir(parents=True, exist_ok=True)
     merged.save_to_disk(str(out_dir / "train_dataset"))
     for fname in (
@@ -129,9 +132,136 @@ def main() -> None:
         src = processed_dir / fname
         if src.exists():
             (out_dir / fname).write_text(src.read_text())
-    print(
-        f"Wrote {len(merged)} train pairs ({len(feedback_ds)} from feedback) to {out_dir}"
+    logger.info(
+        "Wrote %d train pairs (%d from feedback) to %s", len(merged), len(feedback_ds), out_dir
     )
+    return out_dir
+
+
+# --------------------------------------------------------------- scheduling
+
+def count_new_events(db_path: Path, last_event_id: int) -> tuple[int, int]:
+    """(n_new, max_id) of feedback events beyond ``last_event_id``."""
+    import sqlite3
+
+    if not db_path.exists():
+        return 0, last_event_id
+    conn = sqlite3.connect(db_path)
+    try:
+        n, mx = conn.execute(
+            "SELECT COUNT(*), COALESCE(MAX(id), ?) FROM feedback_events WHERE id > ?",
+            (last_event_id, last_event_id),
+        ).fetchone()
+    finally:
+        conn.close()
+    return int(n), int(mx)
+
+
+def load_scheduler_state(path: Path) -> dict:
+    if path.exists():
+        try:
+            return json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            pass
+    return {"last_event_id": 0, "runs": 0}
+
+
+def retrain_once(
+    processed_dir: Path,
+    db_path: Path,
+    state_path: Path,
+    min_new_events: int,
+    train_config: Path | None,
+    output_dir: Path | None = None,
+) -> bool:
+    """One scheduler tick: build the dataset (and retrain) when enough new
+    feedback has accumulated since the last run. Returns True if it ran."""
+    state = load_scheduler_state(state_path)
+    n_new, max_id = count_new_events(db_path, state.get("last_event_id", 0))
+    if n_new < min_new_events:
+        logger.info("retrain skipped: %d new events (< %d)", n_new, min_new_events)
+        return False
+
+    out_dir = build_dataset(processed_dir, db_path, output_dir=output_dir)
+    if out_dir is None:
+        logger.info("retrain skipped: no events with serving context")
+        return False
+
+    if train_config is not None:
+        from instacart_next_order_recommendation_tpu.train.trainer import (
+            TrainConfig,
+            TwoTowerTrainer,
+        )
+        from instacart_next_order_recommendation_tpu.utils.config import load_yaml_config
+
+        raw = load_yaml_config(train_config, train_config)
+        raw["processed_dir"] = str(out_dir)
+        trainer = TwoTowerTrainer(TrainConfig(raw))
+        trainer.train()
+
+    state["last_event_id"] = max_id
+    state["runs"] = state.get("runs", 0) + 1
+    state_path.parent.mkdir(parents=True, exist_ok=True)
+    state_path.write_text(json.dumps(state))
+    return True
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Build a feedback-weighted retrain dataset (optionally on a schedule)"
+    )
+    parser.add_argument("--processed-dir", type=Path, default=None)
+    parser.add_argument("--output-dir", type=Path, required=False, default=None)
+    parser.add_argument("--since", default=None)
+    parser.add_argument(
+        "--interval", type=float, default=None,
+        help="Run as a scheduler: seconds between retrain checks.",
+    )
+    parser.add_argument(
+        "--min-new-events", type=int, default=100,
+        help="Scheduler mode: minimum new feedback events to trigger a run.",
+    )
+    parser.add_argument(
+        "--train-config", type=Path, default=None,
+        help="Scheduler mode: train config to run after each dataset build "
+        "(set model_name to the current checkpoint for a warm start).",
+    )
+    parser.add_argument(
+        "--state-file", type=Path, default=Path("data/retrain_state.json"),
+        help="Scheduler mode: JSON file tracking the last processed event id.",
+    )
+    parser.add_argument("--once", action="store_true", help="Scheduler mode: single tick.")
+    args = parser.parse_args()
+    setup_colored_logging()
+
+    init_db()
+    db_path = get_db_path()
+    processed_dir, _ = resolve_processed_dir(
+        args.processed_dir or DEFAULT_PROCESSED_DIR, DEFAULT_PROCESSED_DIR
+    )
+
+    if args.interval is None and not args.once:
+        out_dir = build_dataset(
+            processed_dir, db_path, since=args.since, output_dir=args.output_dir
+        )
+        if out_dir is None:
+            print("No feedback events with user_context found; nothing to build.")
+        return
+
+    import time
+
+    while True:
+        retrain_once(
+            processed_dir,
+            db_path,
+            args.state_file,
+            args.min_new_events,
+            args.train_config,
+            output_dir=args.output_dir,
+        )
+        if args.once:
+            break
+        time.sleep(args.interval)
 
 
 if __name__ == "__main__":

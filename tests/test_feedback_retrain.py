@@ -1,13 +1,22 @@
-"""Feedback-weighted retrain dataset tests."""
+"""Feedback-weighted retrain dataset + scheduled-retrain tests."""
 
 import json
+from pathlib import Path
 
 from instacart_next_order_recommendation_tpu.api.feedback_store import (
     FeedbackEventRecord,
     init_db,
+    load_context_events,
     record_events,
+    record_request_context,
 )
-from scripts.feedback_retrain import build_weighted_pairs, extract_context_events
+from scripts.feedback_retrain import (
+    build_weighted_pairs,
+    count_new_events,
+    extract_context_events,
+    load_scheduler_state,
+    retrain_once,
+)
 
 
 def test_weighted_pairs_repetition():
@@ -40,3 +49,102 @@ def test_extract_context_events_from_db(tmp_path, monkeypatch):
     )
     events = extract_context_events(db)
     assert events == [("purchase", "[+1d w0h9] Milk.", "7")]
+
+
+def test_server_side_context_join(tmp_path, monkeypatch):
+    monkeypatch.setenv("FEEDBACK_DB_PATH", str(tmp_path / "f.db"))
+    db = init_db()
+    record_request_context("req-1", "[+2d w3h10] Bread, Milk.", user_id="u7")
+    record_events(
+        [
+            FeedbackEventRecord("req-1", "purchase", "5"),  # joins via request_id
+            FeedbackEventRecord("req-2", "click", "6"),  # no stored context
+        ]
+    )
+    assert load_context_events(db) == [("purchase", "[+2d w3h10] Bread, Milk.", "5")]
+    # metadata fallback applies only to events without a stored context;
+    # events whose request has one never double-count via echoed metadata
+    record_events(
+        [
+            FeedbackEventRecord(
+                "req-1", "add_to_cart", "5", metadata={"user_context": "echoed"}
+            ),
+            FeedbackEventRecord(
+                "req-9", "click", "6", metadata={"user_context": "client ctx"}
+            ),
+        ]
+    )
+    events = extract_context_events(db)
+    assert ("add_to_cart", "[+2d w3h10] Bread, Milk.", "5") in events  # server wins
+    assert ("add_to_cart", "echoed", "5") not in events
+    assert ("click", "client ctx", "6") in events  # fallback for unknown request
+    assert len(events) == 3
+
+
+def test_context_store_opt_out(tmp_path, monkeypatch):
+    monkeypatch.setenv("FEEDBACK_DB_PATH", str(tmp_path / "f.db"))
+    monkeypatch.setenv("STORE_REQUEST_CONTEXTS", "0")
+    db = init_db()
+    record_request_context("req-1", "ctx")
+    record_events([FeedbackEventRecord("req-1", "purchase", "5")])
+    assert load_context_events(db) == []
+
+
+def test_recommend_route_persists_context(tmp_path, monkeypatch):
+    from instacart_next_order_recommendation_tpu.api.app import create_app
+    from instacart_next_order_recommendation_tpu.api.http import TestClient
+    from tests.test_api import make_mock_recommender
+
+    monkeypatch.setenv("FEEDBACK_DB_PATH", str(tmp_path / "f.db"))
+    app = create_app(
+        model_dir=tmp_path, corpus_path=tmp_path / "c.json",
+        recommender_factory=make_mock_recommender,
+    )
+    with TestClient(app) as c:
+        r = c.post("/recommend", json={"user_context": "milk and bread", "top_k": 2})
+        assert r.status_code == 200
+        request_id = r.json()["request_id"]
+        # feedback against that request joins back to the stored context
+        c.post(
+            "/feedback",
+            json={"request_id": request_id, "event_type": "purchase", "product_id": "101"},
+        )
+    db = init_db()
+    assert load_context_events(db) == [("purchase", "milk and bread", "101")]
+
+
+def test_scheduler_tick_threshold_and_state(tmp_path, monkeypatch):
+    monkeypatch.setenv("FEEDBACK_DB_PATH", str(tmp_path / "f.db"))
+    db = init_db()
+
+    # minimal processed dir: corpus + train_dataset
+    from datasets import Dataset
+
+    processed = tmp_path / "processed"
+    processed.mkdir()
+    (processed / "eval_corpus.json").write_text(json.dumps({"5": "Product: A."}))
+    Dataset.from_dict({"anchor": ["base ctx"], "positive": ["Product: A."]}).save_to_disk(
+        str(processed / "train_dataset")
+    )
+
+    state_path = tmp_path / "state.json"
+
+    # below threshold: no run
+    record_request_context("r1", "ctx one")
+    record_events([FeedbackEventRecord("r1", "purchase", "5")])
+    assert retrain_once(processed, db, state_path, min_new_events=5, train_config=None) is False
+    assert load_scheduler_state(state_path)["runs"] == 0
+
+    # enough events: runs, writes dataset, advances the event-id watermark
+    for i in range(5):
+        record_events([FeedbackEventRecord("r1", "click", "5")])
+    assert retrain_once(processed, db, state_path, min_new_events=5, train_config=None) is True
+    state = load_scheduler_state(state_path)
+    assert state["runs"] == 1
+    n_new, _ = count_new_events(db, state["last_event_id"])
+    assert n_new == 0  # watermark consumed everything
+    out_dir = processed.parent / f"{processed.name}_fb"
+    assert (out_dir / "train_dataset").exists()
+
+    # immediately after: skipped again until new feedback arrives
+    assert retrain_once(processed, db, state_path, min_new_events=5, train_config=None) is False
