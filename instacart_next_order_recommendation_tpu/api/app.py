@@ -129,6 +129,19 @@ def create_app(
             factory = MonitoredRecommender
         logger.info("Loading recommender model_dir=%s corpus=%s", resolved_model, resolved_corpus)
         recommender = factory(model_dir=resolved_model, corpus_path=resolved_corpus)
+        if os.getenv("PRECOMPILE_ON_STARTUP", "").strip() in ("1", "true"):
+            from instacart_next_order_recommendation_tpu.constants import (
+                ENV_BATCH_WINDOW_MS,
+            )
+            from instacart_next_order_recommendation_tpu.serve.precompile import (
+                BATCH_BUCKETS,
+                warm_serve_shapes,
+            )
+
+            batching_on = float(os.getenv(ENV_BATCH_WINDOW_MS) or 0) > 0
+            warm_serve_shapes(
+                recommender, batch_buckets=BATCH_BUCKETS if batching_on else (1,)
+            )
         app.state["recommender"] = maybe_wrap_micro_batcher(recommender)
         app.state["model_dir"] = resolved_model
         app.state["corpus_path"] = resolved_corpus

@@ -1,0 +1,122 @@
+"""Serve-path AOT precompilation.
+
+First requests against a fresh serving process pay XLA compile latency
+(tens of seconds through a remote compiler) once per (batch, seq, k) shape.
+This tool walks the serve shape lattice ahead of traffic and compiles every
+program the process can hit, populating the persistent compilation cache
+(utils/cache.py) — the serving analog of the reference's model warm-up-less
+cold start (/root/reference/src/api/main.py:52-86 loads the model but still
+compiles nothing ahead of the first query).
+
+Two uses:
+- **Image builds / deploy hooks**: ``python -m
+  instacart_next_order_recommendation_tpu.serve.precompile --config
+  configs/inference.yaml`` bakes a hot compile cache into the serving image.
+- **Startup**: ``PRECOMPILE_ON_STARTUP=1`` makes the API server warm the
+  lattice right after the model loads, before flipping /ready.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# The shape lattice the serve path can hit: request top-k rounds up to these
+# buckets (recommender._rank) and micro-batches round up to these batch rows
+# (serve/batching._BATCH_BUCKETS).
+K_BUCKETS = (16, 32, 64, 128, 256)
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def warm_serve_shapes(
+    recommender,
+    k_buckets: tuple[int, ...] = K_BUCKETS,
+    batch_buckets: tuple[int, ...] = (1,),
+    with_filters: bool = True,
+) -> int:
+    """Compile every (batch, k) serve program; returns the program count.
+
+    ``batch_buckets`` beyond 1 matter only when micro-batching is enabled
+    (each coalesced batch size is its own program).
+    """
+    if not all(hasattr(recommender, a) for a in ("encoder", "index", "product_ids")):
+        return 0  # test doubles / custom recommenders: nothing to compile
+    n = len(recommender.product_ids)
+    dummy = "Product: warmup. Aisle: warmup. Department: warmup."
+    n_programs = 0
+    t0 = time.time()
+
+    for b in batch_buckets:
+        queries = [dummy] * b
+        emb = recommender.encoder.encode_device(queries, pad_batch_to=b)
+        for k in k_buckets:
+            k_eff = min(k, n)
+            if recommender._fused is not None and b == 1:
+                ids, mask = recommender.encoder.tokenizer.encode_batch(
+                    [dummy], max_seq_length=recommender.encoder.max_seq_length
+                )
+                recommender._fused.topk(ids, mask, k_eff)
+                n_programs += 1
+            recommender.index.topk(np.asarray(emb), k_eff)
+            n_programs += 1
+            if with_filters and hasattr(recommender.index, "topk_device"):
+                mask_all = np.ones(n, np.int32)
+                recommender.index.topk(np.asarray(emb), k_eff, candidate_mask=mask_all)
+                n_programs += 1
+            if k_eff == n:
+                break
+        n_programs += 1  # the encode program itself
+    logger.info(
+        "precompiled %d serve programs (%d batch x %d k shapes) in %.1fs",
+        n_programs,
+        len(batch_buckets),
+        len(k_buckets),
+        time.time() - t0,
+    )
+    return n_programs
+
+
+def main() -> None:
+    from instacart_next_order_recommendation_tpu.serve.recommender import (
+        InferenceConfig,
+        Recommender,
+        apply_inference_device_override,
+    )
+    from instacart_next_order_recommendation_tpu.utils import setup_colored_logging
+    from instacart_next_order_recommendation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    parser = argparse.ArgumentParser(description="Precompile the serve shape lattice")
+    parser.add_argument("--config", type=Path, default=None, help="Inference YAML")
+    parser.add_argument(
+        "--batching", action="store_true",
+        help="Also compile micro-batch shapes (BATCH_WINDOW_MS deployments).",
+    )
+    args = parser.parse_args()
+    setup_colored_logging(quiet_loggers=["jax"])
+    apply_inference_device_override()
+    enable_compilation_cache()
+
+    cfg = InferenceConfig.load(args.config)
+    rec = Recommender(
+        model_dir=cfg.model_dir,
+        corpus_path=cfg.corpus,
+        use_index=cfg.use_index,
+        ann=cfg.ann,
+        ann_nlist=cfg.ann_nlist,
+        ann_nprobe=cfg.ann_nprobe,
+    )
+    batches = BATCH_BUCKETS if args.batching else (1,)
+    n = warm_serve_shapes(rec, batch_buckets=batches)
+    print(f"precompiled {n} serve programs; compilation cache is hot")
+
+
+if __name__ == "__main__":
+    main()

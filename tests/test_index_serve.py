@@ -223,6 +223,26 @@ class TestRecommender:
         *_, rec = served
         assert rec.recommend("milk", top_k=5, filter_aisles=["nope"]) == []
 
+    def test_precompile_warms_serve_shapes(self, served):
+        from instacart_next_order_recommendation_tpu.serve.precompile import (
+            warm_serve_shapes,
+        )
+
+        *_, rec = served
+        n = warm_serve_shapes(rec, k_buckets=(16, 32), batch_buckets=(1, 2))
+        assert n > 0
+        # every first-request shape is now cached: identical results, no error
+        assert len(rec.recommend("organic milk", top_k=5)) == 5
+
+    def test_precompile_skips_test_doubles(self):
+        from types import SimpleNamespace
+
+        from instacart_next_order_recommendation_tpu.serve.precompile import (
+            warm_serve_shapes,
+        )
+
+        assert warm_serve_shapes(SimpleNamespace()) == 0
+
     def test_filter_with_exclusion(self, served):
         *_, corpus, rec = served
         base = rec.recommend("milk", top_k=5, filter_aisles=["a1"])
