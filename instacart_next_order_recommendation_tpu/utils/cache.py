@@ -8,10 +8,36 @@ bench runs, and repeated training jobs.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from pathlib import Path
 
 _ENABLED = False
+
+
+def _host_fingerprint() -> str:
+    """Stable per-machine key for the cache namespace.
+
+    XLA:CPU AOT results embed the compile machine's CPU feature set; loading
+    an entry produced on a different machine (e.g. a persistent $HOME mounted
+    on rotating hosts) emits "machine type doesn't match" errors and can
+    mis-execute. Namespacing the cache dir by CPU flags + JAX version keeps
+    each host's entries isolated.
+    """
+    import platform
+
+    import jax
+
+    parts = [platform.machine(), jax.__version__]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    parts.append(line.split(":", 1)[1].strip())
+                    break
+    except OSError:
+        parts.append(platform.processor())
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> None:
@@ -24,7 +50,7 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> None
     path = Path(
         cache_dir
         or os.getenv("ITOR_COMPILATION_CACHE")
-        or Path.home() / ".cache" / "itor_xla"
+        or Path.home() / ".cache" / "itor_xla" / _host_fingerprint()
     )
     try:
         path.mkdir(parents=True, exist_ok=True)
