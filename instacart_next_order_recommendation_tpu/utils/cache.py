@@ -30,11 +30,20 @@ def _host_fingerprint() -> str:
 
     parts = [platform.machine(), jax.__version__]
     try:
+        flags = model = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    parts.append(line.split(":", 1)[1].strip())
+                # "model name" matters independently of the flag set: XLA:CPU
+                # derives LLVM target features like prefer-no-scatter from the
+                # detected CPU model, so two hosts with identical cpuinfo
+                # flags can still produce incompatible AOT results.
+                if not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                elif not flags and line.startswith("flags"):
+                    flags = line.split(":", 1)[1].strip()
+                if model and flags:
                     break
+        parts += [model, flags]
     except OSError:
         parts.append(platform.processor())
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]

@@ -6,8 +6,14 @@ first backend use (pytest imports conftest before collecting test modules).
 """
 
 import os
+import tempfile
 
 os.environ.setdefault("ITOR_NUM_CPU_DEVICES", "8")
+# Hermetic XLA compilation cache: $HOME may be a persistent volume mounted on
+# rotating hosts, and stale XLA:CPU AOT entries compiled on a different CPU
+# model mis-execute (observed as numerical drift in sharding-equivalence
+# tests). Point the cache at a per-run tmp dir so tests never read old entries.
+os.environ["ITOR_COMPILATION_CACHE"] = tempfile.mkdtemp(prefix="itor_xla_test_")
 
 import jax  # noqa: E402
 
