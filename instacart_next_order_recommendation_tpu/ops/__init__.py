@@ -21,20 +21,22 @@ import jax
 
 @lru_cache(maxsize=1)
 def use_pallas() -> bool:
-    """Pallas on single-chip TPU; jnp references elsewhere.
+    """Pallas on TPU; jnp references elsewhere.
 
     Multi-device note: a pallas_call is an opaque custom call to GSPMD, so
-    under jit over a multi-device mesh XLA would replicate its operands
-    (correct but wasteful). Ops invoked INSIDE shard_map see local shapes and
-    are safe on any topology (the sharded catalog index does this); the
-    jit-GSPMD training step uses the jnp references on multi-device meshes
-    until it moves to an explicit shard_map step.
+    under jit over a multi-device mesh XLA would replicate its operands.
+    The batch-parallel ops (attention, pool+norm) carry
+    ``custom_partitioning`` sharding rules (ops/partition.py) that keep the
+    kernels shard-local under jit-GSPMD, so they are enabled on any TPU
+    topology. Ops invoked INSIDE shard_map see local shapes and are always
+    safe. The catalog top-k keeps its own gate: its multi-device form is the
+    shard_map path in index/sharded.py.
     """
     if os.getenv("ITOR_DISABLE_PALLAS", "").strip() in ("1", "true"):
         return False
     if os.getenv("ITOR_FORCE_PALLAS", "").strip() in ("1", "true"):
         return True
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return jax.default_backend() == "tpu"
 
 
 @lru_cache(maxsize=1)

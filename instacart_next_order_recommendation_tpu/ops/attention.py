@@ -103,13 +103,51 @@ def _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret):
     )(q, k, v, mask)
 
 
+@functools.lru_cache(maxsize=None)
+def _attn_fwd_partitioned(scale, interpret):
+    """custom_partitioning wrapper: batch/head partitionable, seq/dim replicated."""
+    from instacart_next_order_recommendation_tpu.ops.partition import batch_partitioned
+
+    def impl(q, k, v, mask):
+        return _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret)
+
+    return batch_partitioned(
+        impl,
+        rule="b h s d1, b h s d2, b h s d3, b s -> b h s d3",
+        need_replication=("s", "d1", "d2", "d3"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _attn_bwd_partitioned(scale, interpret):
+    from instacart_next_order_recommendation_tpu.ops.partition import batch_partitioned
+
+    def impl(q, k, v, mask, g):
+        return _attention_pallas_bwd_impl(q, k, v, mask, g, scale, interpret)
+
+    return batch_partitioned(
+        impl,
+        rule="b h s d1, b h s d2, b h s d3, b s, b h s d4 -> b h s d1, b h s d2, b h s d3",
+        need_replication=("s", "d1", "d2", "d3", "d4"),
+    )
+
+
+def _dispatch_fwd(q, k, v, mask, scale, interpret):
+    # Single device: call the kernel directly. Multi-device: go through the
+    # partitioning wrapper so jit-GSPMD shards batch/heads instead of
+    # replicating (inside shard_map the wrapper sees one device and is inert).
+    if jax.device_count() == 1:
+        return _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret)
+    return _attn_fwd_partitioned(scale, interpret)(q, k, v, mask)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _attention_pallas(q, k, v, mask, scale, interpret):
-    return _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret)
+    return _dispatch_fwd(q, k, v, mask, scale, interpret)
 
 
 def _attention_pallas_fwd(q, k, v, mask, scale, interpret):
-    out = _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret)
+    out = _dispatch_fwd(q, k, v, mask, scale, interpret)
     return out, (q, k, v, mask)
 
 
@@ -180,7 +218,10 @@ def _attention_pallas_bwd_impl(q, k, v, mask, g, scale, interpret):
 
 def _attention_pallas_bwd(scale, interpret, residuals, g):
     q, k, v, mask = residuals
-    dq, dk, dv = _attention_pallas_bwd_impl(q, k, v, mask, g, scale, interpret)
+    if jax.device_count() == 1:
+        dq, dk, dv = _attention_pallas_bwd_impl(q, k, v, mask, g, scale, interpret)
+    else:
+        dq, dk, dv = _attn_bwd_partitioned(scale, interpret)(q, k, v, mask, g)
     return dq, dk, dv, None
 
 

@@ -14,6 +14,8 @@ Output is [batch, dim], unit L2 norm, f32.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -76,11 +78,25 @@ def masked_mean_pool_l2norm(hidden: jax.Array, mask: jax.Array) -> jax.Array:
     return masked_mean_pool_l2norm_reference(hidden, mask)
 
 
+@functools.lru_cache(maxsize=None)
+def _pool_partitioned(interpret):
+    """custom_partitioning wrapper: batch partitionable, seq/dim replicated
+    (the mean reduces over seq; the L2 norm reduces over dim)."""
+    from instacart_next_order_recommendation_tpu.ops.partition import batch_partitioned
+
+    def impl(hidden, mask):
+        return masked_mean_pool_l2norm_pallas(hidden, mask, interpret=interpret)
+
+    return batch_partitioned(impl, rule="b s h, b s -> b h", need_replication=("s", "h"))
+
+
 @jax.custom_vjp
 def _pool_with_ref_grad(hidden, mask):
     from instacart_next_order_recommendation_tpu.ops import pallas_interpret
 
-    return masked_mean_pool_l2norm_pallas(hidden, mask, interpret=pallas_interpret())
+    if jax.device_count() == 1:
+        return masked_mean_pool_l2norm_pallas(hidden, mask, interpret=pallas_interpret())
+    return _pool_partitioned(pallas_interpret())(hidden, mask)
 
 
 def _pool_fwd(hidden, mask):

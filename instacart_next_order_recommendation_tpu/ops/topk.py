@@ -235,7 +235,10 @@ def cosine_topk(
 
     from instacart_next_order_recommendation_tpu.ops import pallas_interpret, use_pallas
 
-    pallas_ok = use_pallas() or (local and _jax.default_backend() == "tpu")
+    # The global (non-local) form has no partitioning rule: on a multi-device
+    # mesh the sharded index (index/sharded.py) calls this with local=True
+    # inside shard_map instead.
+    pallas_ok = use_pallas() and (local or _jax.device_count() == 1)
     if pallas_ok and k <= DEFAULT_BLOCK_N:
         return cosine_topk_pallas(
             queries,

@@ -194,3 +194,74 @@ class TestTopKLargeK:
         s, i = cosine_topk_pallas(jnp.asarray(q), jnp.asarray(c), 200, block_n=128, interpret=True)
         expect = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, :200]
         np.testing.assert_array_equal(np.asarray(i), expect)
+
+
+class TestPartitionedOps:
+    """custom_partitioning rules: Pallas ops under jit-GSPMD on a multi-device
+    mesh must shard along batch (no operand replication) and stay exact."""
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()), ("data",))
+
+    def test_attention_fwd_partitioned(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from instacart_next_order_recommendation_tpu.ops.attention import (
+            _attn_fwd_partitioned,
+        )
+
+        mesh = self._mesh()
+        q, k, v, mask = _random_qkv(rng, b=16)
+        sh = NamedSharding(mesh, P("data"))
+        qs, ks, vs, ms = (jax.device_put(x, sh) for x in (q, k, v, mask))
+        fn = jax.jit(_attn_fwd_partitioned(0.25, True))
+        out = fn(qs, ks, vs, ms)
+        assert out.sharding.spec == P("data")
+        ref = multi_head_attention_reference(q, k, v, mask, 0.25)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        # The fwd partitions along batch: no collectives in the compiled module.
+        hlo = fn.lower(qs, ks, vs, ms).compile().as_text()
+        assert "all-gather" not in hlo and "all-reduce" not in hlo
+
+    def test_attention_grad_partitioned(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from instacart_next_order_recommendation_tpu.ops.attention import (
+            _attention_pallas,
+        )
+
+        mesh = self._mesh()
+        q, k, v, mask = _random_qkv(rng, b=8)
+        sh = NamedSharding(mesh, P("data"))
+        qs, ks, vs, ms = (jax.device_put(x, sh) for x in (q, k, v, mask))
+
+        def loss(q, k, v, mask):
+            return jnp.sum(_attention_pallas(q, k, v, mask, 0.25, True) ** 2)
+
+        def ref_loss(q, k, v, mask):
+            return jnp.sum(multi_head_attention_reference(q, k, v, mask, 0.25) ** 2)
+
+        got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks, vs, ms)
+        want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v, mask)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4)
+
+    def test_pool_norm_partitioned(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from instacart_next_order_recommendation_tpu.ops.pool_norm import (
+            _pool_partitioned,
+        )
+
+        mesh = self._mesh()
+        hidden = jnp.asarray(rng.standard_normal((16, 24, 32)), jnp.float32)
+        mask = (jnp.arange(24)[None, :] < 17).astype(jnp.int32) * jnp.ones((16, 1), jnp.int32)
+        sh = NamedSharding(mesh, P("data"))
+        hs, ms = jax.device_put(hidden, sh), jax.device_put(mask, sh)
+        fn = jax.jit(_pool_partitioned(True))
+        out = fn(hs, ms)
+        assert out.sharding.spec == P("data")
+        ref = masked_mean_pool_l2norm_reference(hidden, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
