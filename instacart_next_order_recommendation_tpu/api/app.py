@@ -22,7 +22,7 @@ from instacart_next_order_recommendation_tpu.api.http import App, Request, Respo
 from instacart_next_order_recommendation_tpu.api.feedback_store import init_db
 from instacart_next_order_recommendation_tpu.api.limiter import RateLimiter
 from instacart_next_order_recommendation_tpu.api.metrics import API_REGISTRY, MODEL_LOADED
-from instacart_next_order_recommendation_tpu.api.routes import corpus, feedback, recommend
+from instacart_next_order_recommendation_tpu.api.routes import corpus, feedback, model, recommend
 from instacart_next_order_recommendation_tpu.constants import (
     DEFAULT_CORPUS_PATH,
     DEFAULT_MODEL_DIR,
@@ -174,6 +174,7 @@ def create_app(
     recommend.register(app)
     feedback.register(app)
     corpus.register(app)
+    model.register(app)
     return app
 
 

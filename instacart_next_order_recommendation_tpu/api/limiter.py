@@ -18,7 +18,7 @@ from instacart_next_order_recommendation_tpu.constants import ENV_RATE_LIMIT
 
 _PERIODS = {"second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0}
 
-EXEMPT_PATHS = {"/health", "/ready", "/metrics", "/admin/corpus"}
+EXEMPT_PATHS = {"/health", "/ready", "/metrics", "/admin/corpus", "/admin/model"}
 
 
 def parse_rate(rate: str) -> tuple[int, float]:

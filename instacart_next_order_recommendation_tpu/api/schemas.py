@@ -101,3 +101,21 @@ class CorpusUploadRequest(BaseModel):
 class CorpusUploadResponse(BaseModel):
     status: str = "ok"
     n_products: int = Field(..., description="Number of products in the uploaded corpus.")
+
+
+class ModelSwapRequest(BaseModel):
+    """POST /admin/model body (TPU-native extension: retrain auto-deploy)."""
+
+    model_config = {"protected_namespaces": ()}
+
+    model_dir: str = Field(..., min_length=1, description="Path to the new model checkpoint dir.")
+
+
+class ModelSwapResponse(BaseModel):
+    model_config = {"protected_namespaces": ()}
+
+    status: str = "ok"
+    model_dir: str = Field(..., description="The now-serving model directory.")
+    best: Optional[Dict[str, Any]] = Field(
+        default=None, description="best.json contents found next to the checkpoint, if any."
+    )

@@ -166,6 +166,44 @@ def load_scheduler_state(path: Path) -> dict:
     return {"last_event_id": 0, "runs": 0}
 
 
+def check_eval_gate(
+    run_dir: Path, state: dict, gate_metric: str, min_improvement: float
+) -> tuple[bool, float | None]:
+    """Deploy gate: the new run's best eval metric (best.json) must beat the
+    last deployed value by ``min_improvement``. (pass, new_metric)."""
+    try:
+        best = json.loads((run_dir / "best.json").read_text())
+    except (OSError, json.JSONDecodeError):
+        return False, None
+    entry = best.get("entry") or {}
+    new_metric = entry.get(gate_metric)
+    if new_metric is None:
+        return False, None
+    deployed = state.get("deployed_metric")
+    if deployed is not None and new_metric < deployed + min_improvement:
+        return False, float(new_metric)
+    return True, float(new_metric)
+
+
+def deploy_model(serve_url: str, model_dir: Path, api_key: str | None = None) -> dict:
+    """POST the checkpoint to the server's /admin/model hot-swap endpoint."""
+    import os
+    import urllib.request
+
+    body = json.dumps({"model_dir": str(model_dir)}).encode()
+    req = urllib.request.Request(
+        serve_url.rstrip("/") + "/admin/model",
+        data=body,
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    key = api_key or os.getenv("API_KEY")
+    if key:
+        req.add_header("X-API-Key", key)
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        return json.loads(resp.read())
+
+
 def retrain_once(
     processed_dir: Path,
     db_path: Path,
@@ -173,9 +211,17 @@ def retrain_once(
     min_new_events: int,
     train_config: Path | None,
     output_dir: Path | None = None,
+    serve_url: str | None = None,
+    gate_metric: str = "ndcg_at_10",
+    min_improvement: float = 0.0,
 ) -> bool:
     """One scheduler tick: build the dataset (and retrain) when enough new
-    feedback has accumulated since the last run. Returns True if it ran."""
+    feedback has accumulated since the last run. Returns True if it ran.
+
+    With ``serve_url`` set, a run that passes the eval gate (best.json
+    ``gate_metric`` beats the last deployed value by ``min_improvement``) is
+    auto-deployed via POST /admin/model; failing runs leave serving untouched.
+    """
     state = load_scheduler_state(state_path)
     n_new, max_id = count_new_events(db_path, state.get("last_event_id", 0))
     if n_new < min_new_events:
@@ -196,8 +242,34 @@ def retrain_once(
 
         raw = load_yaml_config(train_config, train_config)
         raw["processed_dir"] = str(out_dir)
-        trainer = TwoTowerTrainer(TrainConfig(raw))
-        trainer.train()
+        cfg = TrainConfig(raw)
+        trainer = TwoTowerTrainer(cfg)
+        result = trainer.train()
+
+        if serve_url:
+            passed, new_metric = check_eval_gate(
+                cfg.output_dir, state, gate_metric, min_improvement
+            )
+            if passed:
+                final_dir = Path(result["final_dir"])
+                try:
+                    deploy_model(serve_url, final_dir)
+                except Exception:
+                    logger.exception("model deploy failed; keeping previous model")
+                else:
+                    state["deployed_metric"] = new_metric
+                    state["deployed_model"] = str(final_dir)
+                    logger.info(
+                        "model_deployed %s=%s model=%s", gate_metric, new_metric, final_dir
+                    )
+            else:
+                logger.info(
+                    "eval gate failed: %s=%s (deployed=%s, min_improvement=%s); not deploying",
+                    gate_metric,
+                    new_metric,
+                    state.get("deployed_metric"),
+                    min_improvement,
+                )
 
     state["last_event_id"] = max_id
     state["runs"] = state.get("runs", 0) + 1
@@ -231,6 +303,19 @@ def main() -> None:
         help="Scheduler mode: JSON file tracking the last processed event id.",
     )
     parser.add_argument("--once", action="store_true", help="Scheduler mode: single tick.")
+    parser.add_argument(
+        "--serve-url", default=None,
+        help="Auto-deploy: base URL of a running API server; retrained models "
+        "that pass the eval gate are hot-swapped via POST /admin/model.",
+    )
+    parser.add_argument(
+        "--gate-metric", default="ndcg_at_10",
+        help="Auto-deploy eval gate metric read from the run's best.json.",
+    )
+    parser.add_argument(
+        "--min-improvement", type=float, default=0.0,
+        help="Required gate-metric improvement over the last deployed model.",
+    )
     args = parser.parse_args()
     setup_colored_logging()
 
@@ -258,6 +343,9 @@ def main() -> None:
             args.min_new_events,
             args.train_config,
             output_dir=args.output_dir,
+            serve_url=args.serve_url,
+            gate_metric=args.gate_metric,
+            min_improvement=args.min_improvement,
         )
         if args.once:
             break

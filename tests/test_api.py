@@ -387,3 +387,53 @@ class TestConcurrency:
         with ThreadPoolExecutor(8) as ex:
             codes = list(ex.map(hit, range(60)))
         assert all(c in (200, 202) for c in codes)
+
+
+class TestAdminModel:
+    def test_model_swap_200(self, client, tmp_path):
+        new_model = tmp_path / "run" / "final"
+        new_model.mkdir(parents=True)
+        (tmp_path / "run" / "best.json").write_text(
+            '{"best_epoch": 2, "metric": "ndcg_at_10", "entry": {"ndcg_at_10": 0.3}}'
+        )
+        r = client.post("/admin/model", json={"model_dir": str(new_model)})
+        assert r.status_code == 200
+        body = r.json()
+        assert body["status"] == "ok"
+        assert body["model_dir"] == str(new_model)
+        assert body["best"]["entry"]["ndcg_at_10"] == 0.3
+        assert str(client.app.state["model_dir"]) == str(new_model)
+
+    def test_model_swap_missing_dir_400(self, client, tmp_path):
+        r = client.post("/admin/model", json={"model_dir": str(tmp_path / "nope")})
+        assert r.status_code == 400
+
+    def test_model_swap_empty_422(self, client):
+        r = client.post("/admin/model", json={"model_dir": ""})
+        assert r.status_code == 422
+
+    def test_model_swap_requires_api_key(self, client, tmp_path, monkeypatch):
+        monkeypatch.setenv("API_KEY", "sek")
+        new_model = tmp_path / "m"
+        new_model.mkdir()
+        r = client.post("/admin/model", json={"model_dir": str(new_model)})
+        assert r.status_code == 401
+        r = client.post(
+            "/admin/model",
+            json={"model_dir": str(new_model)},
+            headers={"X-API-Key": "sek"},
+        )
+        assert r.status_code == 200
+
+    def test_failed_load_keeps_old_model(self, client, tmp_path):
+        old = client.app.state["recommender"]
+
+        def broken_factory(**kwargs):
+            raise RuntimeError("bad checkpoint")
+
+        client.app.state["recommender_factory"] = broken_factory
+        new_model = tmp_path / "m2"
+        new_model.mkdir()
+        r = client.post("/admin/model", json={"model_dir": str(new_model)})
+        assert r.status_code == 500
+        assert client.app.state["recommender"] is old

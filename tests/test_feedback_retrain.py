@@ -148,3 +148,108 @@ def test_scheduler_tick_threshold_and_state(tmp_path, monkeypatch):
 
     # immediately after: skipped again until new feedback arrives
     assert retrain_once(processed, db, state_path, min_new_events=5, train_config=None) is False
+
+
+def test_eval_gate_logic(tmp_path):
+    from scripts.feedback_retrain import check_eval_gate
+
+    run = tmp_path / "run"
+    run.mkdir()
+    # no best.json -> fail closed
+    assert check_eval_gate(run, {}, "ndcg_at_10", 0.0) == (False, None)
+
+    (run / "best.json").write_text(
+        json.dumps({"best_epoch": 1, "metric": "ndcg_at_10", "entry": {"ndcg_at_10": 0.25}})
+    )
+    # first deploy: passes
+    assert check_eval_gate(run, {}, "ndcg_at_10", 0.0) == (True, 0.25)
+    # regression vs deployed: fails
+    assert check_eval_gate(run, {"deployed_metric": 0.30}, "ndcg_at_10", 0.0) == (False, 0.25)
+    # improvement below min_improvement: fails
+    assert check_eval_gate(run, {"deployed_metric": 0.249}, "ndcg_at_10", 0.01) == (False, 0.25)
+    # clears the bar
+    assert check_eval_gate(run, {"deployed_metric": 0.20}, "ndcg_at_10", 0.01) == (True, 0.25)
+    # missing metric key -> fail closed
+    assert check_eval_gate(run, {}, "recall_at_10", 0.0) == (False, None)
+
+
+def test_retrain_auto_deploy_on_gate_pass(tmp_path, monkeypatch):
+    """retrain_once with serve_url trains, checks the gate, and deploys."""
+    import scripts.feedback_retrain as fr
+
+    monkeypatch.setenv("FEEDBACK_DB_PATH", str(tmp_path / "f.db"))
+    db = init_db()
+
+    from datasets import Dataset
+
+    processed = tmp_path / "processed"
+    processed.mkdir()
+    (processed / "eval_corpus.json").write_text(json.dumps({"5": "Product: A."}))
+    Dataset.from_dict({"anchor": ["base ctx"], "positive": ["Product: A."]}).save_to_disk(
+        str(processed / "train_dataset")
+    )
+    record_request_context("r1", "ctx one")
+    record_events([FeedbackEventRecord("r1", "purchase", "5")])
+
+    run_dir = tmp_path / "model_run"
+
+    class FakeTrainer:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+        def train(self):
+            final = run_dir / "final"
+            final.mkdir(parents=True, exist_ok=True)
+            (run_dir / "best.json").write_text(
+                json.dumps({"best_epoch": 1, "metric": "ndcg_at_10", "entry": {"ndcg_at_10": 0.4}})
+            )
+            return {"history": [], "best_epoch": 1, "final_dir": str(final)}
+
+    class FakeTrainConfig:
+        def __init__(self, raw):
+            self.raw = raw
+            self.output_dir = run_dir
+
+    import instacart_next_order_recommendation_tpu.train.trainer as tm
+
+    monkeypatch.setattr(tm, "TwoTowerTrainer", FakeTrainer)
+    monkeypatch.setattr(tm, "TrainConfig", FakeTrainConfig)
+
+    deploys = []
+    monkeypatch.setattr(fr, "deploy_model", lambda url, md, api_key=None: deploys.append((url, md)))
+
+    cfg_file = tmp_path / "train.yaml"
+    cfg_file.write_text("epochs: 1\n")
+    state_path = tmp_path / "state.json"
+    assert (
+        fr.retrain_once(
+            processed, db, state_path, min_new_events=1,
+            train_config=cfg_file, serve_url="http://localhost:9",
+        )
+        is True
+    )
+    assert deploys == [("http://localhost:9", run_dir / "final")]
+    state = fr.load_scheduler_state(state_path)
+    assert state["deployed_metric"] == 0.4
+    assert state["deployed_model"] == str(run_dir / "final")
+
+    # Second run with a worse model: gate blocks the deploy.
+    class WorseTrainer(FakeTrainer):
+        def train(self):
+            out = super().train()
+            (run_dir / "best.json").write_text(
+                json.dumps({"best_epoch": 1, "metric": "ndcg_at_10", "entry": {"ndcg_at_10": 0.1}})
+            )
+            return out
+
+    monkeypatch.setattr(tm, "TwoTowerTrainer", WorseTrainer)
+    record_events([FeedbackEventRecord("r1", "click", "5")])
+    assert (
+        fr.retrain_once(
+            processed, db, state_path, min_new_events=1,
+            train_config=cfg_file, serve_url="http://localhost:9",
+        )
+        is True
+    )
+    assert len(deploys) == 1  # no new deploy
+    assert fr.load_scheduler_state(state_path)["deployed_metric"] == 0.4
