@@ -67,7 +67,10 @@ class ShardedCatalogIndex:
 
     def _build_topk(self, k: int, batch: int, has_mask: bool):
         if self.mesh is None or self.dp == 1:
+            from instacart_next_order_recommendation_tpu.serve.aot import AotStore
+
             n_valid = self.n_total
+            aot = AotStore.from_env()
 
             @jax.jit
             def topk_fn(queries, catalog, mask=None):
@@ -79,7 +82,18 @@ class ShardedCatalogIndex:
                     candidate_mask=mask,
                 )
 
-            return topk_fn
+            if aot is None:
+                return topk_fn
+
+            def aot_topk(queries, catalog, mask=None):
+                key = (
+                    f"topk_k{k}_b{queries.shape[0]}_n{catalog.shape[0]}"
+                    f"_d{catalog.shape[1]}_{catalog.dtype}_mask{int(mask is not None)}"
+                )
+                args = (queries, catalog) + ((mask,) if mask is not None else ())
+                return aot.run(key, topk_fn, args)
+
+            return aot_topk
 
         mesh = self.mesh
         shard_rows = self.shard_rows

@@ -55,6 +55,20 @@ class TextEncoder:
 
             self._batch_sharding = NamedSharding(mesh, P("data"))
         self._jitted = jax.jit(partial(encode, config=self.config))
+        self._aot = None
+        if self._batch_sharding is None:
+            from instacart_next_order_recommendation_tpu.serve.aot import AotStore
+
+            self._aot = AotStore.from_env()
+
+    def _run_encode(self, ids_d, mask_d):
+        if self._aot is None:
+            return self._jitted(self.params, ids_d, mask_d)
+        c = self.config
+        key = (
+            f"encode_{c.num_layers}x{c.hidden_size}_b{ids_d.shape[0]}_s{ids_d.shape[1]}"
+        )
+        return self._aot.run(key, self._jitted, (self.params, ids_d, mask_d))
 
     @classmethod
     def load(cls, model_dir: Path | str, max_seq_length: int | None = None) -> "TextEncoder":
@@ -87,7 +101,7 @@ class TextEncoder:
         if self._batch_sharding is not None:
             ids_d = jax.device_put(ids_d, self._batch_sharding)
             mask_d = jax.device_put(mask_d, self._batch_sharding)
-        emb = self._jitted(self.params, ids_d, mask_d)
+        emb = self._run_encode(ids_d, mask_d)
         return emb[: len(texts)]
 
     def encode(

@@ -1,0 +1,138 @@
+"""AOT-serialized serving executables: zero-compile startup.
+
+The persistent compilation cache (utils/cache.py) makes warm startups cheap
+but still needs a live XLA compiler (slow over remote-compile tunnels, and a
+build-time dependency in hardened serving images). This module serializes the
+*compiled executables* themselves (``jax.experimental.serialize_executable``)
+so a serving process can start and answer its first request without invoking
+the compiler at all — the TPU-native replacement for the reference's
+compile-free-but-slow eager torch serving
+(/root/reference/src/api/main.py:52-86 loads weights only; every request
+re-runs eager kernels).
+
+Usage:
+- **Export** (image build / deploy hook)::
+
+    ITOR_AOT_DIR=/models/aot ITOR_AOT_EXPORT=1 \
+        python -m instacart_next_order_recommendation_tpu.serve.precompile \
+        --config configs/inference.yaml
+
+  walks the serve shape lattice; every program it compiles is serialized
+  into the store.
+- **Serve**: set ``ITOR_AOT_DIR=/models/aot`` — the encode / fused-serve /
+  top-k call sites load executables keyed by program shape and fall back to
+  normal jit on a miss (e.g. an unexported shape or different device kind).
+
+Executables are device-specific: the store namespaces by backend, device
+kind, device count and JAX version, so a mismatched artifact is a clean miss,
+never a wrong-machine load.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+_SUFFIX = ".jaxexec"
+
+
+class AotStore:
+    """Disk store of serialized compiled executables, keyed by program shape."""
+
+    def __init__(self, root: str | os.PathLike, export: bool = False):
+        self.root = Path(root) / self.fingerprint()
+        self.export = export
+        self._mem: dict[str, object] = {}
+        self._miss: set[str] = set()
+        if export:
+            self.root.mkdir(parents=True, exist_ok=True)
+
+    @staticmethod
+    def fingerprint() -> str:
+        """Executable compatibility key: backend/device/topology/JAX version.
+
+        On the cpu backend the "device kind" is just "cpu", but XLA:CPU AOT
+        results embed the compile machine's CPU model/feature set (loading on
+        a different host warns and can mis-execute) — so fold in the same
+        host fingerprint the persistent compilation cache uses.
+        """
+        import jax
+
+        from instacart_next_order_recommendation_tpu.utils.cache import (
+            _host_fingerprint,
+        )
+
+        kind = jax.devices()[0].device_kind
+        if jax.default_backend() == "cpu":
+            kind = f"{kind}-{_host_fingerprint()}"
+        tag = f"{jax.default_backend()}_{kind}_{jax.device_count()}dev_jax{jax.__version__}"
+        return "".join(c if c.isalnum() or c in "._-" else "-" for c in tag)
+
+    @classmethod
+    def from_env(cls) -> "AotStore | None":
+        root = os.getenv("ITOR_AOT_DIR")
+        if not root:
+            return None
+        export = os.getenv("ITOR_AOT_EXPORT", "").strip() in ("1", "true")
+        return cls(root, export=export)
+
+    def _path(self, key: str) -> Path:
+        return self.root / f"{key}{_SUFFIX}"
+
+    def _load(self, key: str):
+        path = self._path(key)
+        if not path.exists():
+            return None
+        import jax
+        from jax.experimental import serialize_executable as se
+
+        try:
+            payload, in_tree, out_tree = pickle.loads(path.read_bytes())
+            # Serve programs are single-device; pin execution to the default
+            # device (on multi-device hosts the loader would otherwise expect
+            # one arg shard per local device).
+            fn = se.deserialize_and_load(
+                payload, in_tree, out_tree, execution_devices=jax.devices()[:1]
+            )
+        except Exception:  # corrupt/incompatible artifact: fall back to jit
+            logger.warning("Failed to load AOT executable %s; falling back to jit", path)
+            return None
+        logger.info("Loaded AOT serve executable %s", path.name)
+        return fn
+
+    def _build_and_save(self, key: str, jitted, args):
+        from jax.experimental import serialize_executable as se
+
+        compiled = jitted.lower(*args).compile()
+        try:
+            payload, in_tree, out_tree = se.serialize(compiled)
+            tmp = self._path(key).with_suffix(".tmp")
+            tmp.write_bytes(pickle.dumps((payload, in_tree, out_tree)))
+            tmp.replace(self._path(key))
+            logger.info("Exported AOT serve executable %s", self._path(key).name)
+        except Exception:
+            logger.exception("Failed to serialize executable for %s", key)
+        return compiled
+
+    def run(self, key: str, jitted, args: tuple):
+        """Run ``jitted(*args)`` through the stored executable for ``key``.
+
+        Misses fall back to the jitted callable (which hits the normal
+        compilation cache); in export mode a miss compiles AND serializes.
+        """
+        fn = self._mem.get(key)
+        if fn is None and key not in self._miss:
+            fn = self._load(key)
+            if fn is None and self.export:
+                fn = self._build_and_save(key, jitted, args)
+            if fn is None:
+                self._miss.add(key)
+            else:
+                self._mem[key] = fn
+        if fn is None:
+            return jitted(*args)
+        return fn(*args)

@@ -28,11 +28,14 @@ class FusedServePipeline:
     """One-dispatch (ids, mask) -> (scores, indices) over a resident catalog."""
 
     def __init__(self, params, config: TowerConfig, catalog: jax.Array, n_valid: int):
+        from instacart_next_order_recommendation_tpu.serve.aot import AotStore
+
         self.params = params
         self.config = config
         self.catalog = catalog
         self.n_valid = n_valid
         self._jitted: dict[int, object] = {}
+        self._aot = AotStore.from_env()
 
     def _fn(self, k: int):
         if k not in self._jitted:
@@ -42,11 +45,14 @@ class FusedServePipeline:
             def run(params, ids, mask, catalog):
                 emb = encode(params, ids, mask, config)
                 s, i = cosine_topk(emb, catalog, k, n_valid=n_valid)
-                # Pack scores + bitcast indices into ONE [B, 2k] f32 array so
-                # the host fetches a single transfer (each device->host round
-                # trip costs real latency on tunneled setups).
+                # Pack scores + indices into ONE [B, 2k] array so the host
+                # fetches a single transfer (each device->host round trip
+                # costs real latency on tunneled setups). Pack in INT space:
+                # small int32 indices bitcast to f32 are denormals, which the
+                # TPU flushes to zero; f32 score bit patterns as int32 are
+                # ordinary integers and survive any data path.
                 return jnp.concatenate(
-                    [s, jax.lax.bitcast_convert_type(i, jnp.float32)], axis=1
+                    [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
                 )
 
             self._jitted[k] = run
@@ -55,12 +61,21 @@ class FusedServePipeline:
     def topk_device(self, ids: np.ndarray, mask: np.ndarray, k: int):
         """Async: returns the packed [B, 2k] device array (see ``unpack``)."""
         k = min(k, self.n_valid)
-        return self._fn(k)(self.params, jnp.asarray(ids), jnp.asarray(mask), self.catalog), k
+        args = (self.params, jnp.asarray(ids), jnp.asarray(mask), self.catalog)
+        if self._aot is not None:
+            c = self.config
+            key = (
+                f"fused_{c.num_layers}x{c.hidden_size}_k{k}"
+                f"_b{ids.shape[0]}_s{ids.shape[1]}"
+                f"_n{self.catalog.shape[0]}_{self.catalog.dtype}"
+            )
+            return self._aot.run(key, self._fn(k), args), k
+        return self._fn(k)(*args), k
 
     @staticmethod
     def unpack(packed: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        scores = packed[:, :k]
-        indices = np.ascontiguousarray(packed[:, k:]).view(np.int32)
+        scores = np.ascontiguousarray(packed[:, :k]).view(np.float32)
+        indices = packed[:, k:]
         return scores, indices
 
     def topk(self, ids: np.ndarray, mask: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -40,29 +40,47 @@ def warm_serve_shapes(
     batch_buckets: tuple[int, ...] = (1,),
     with_filters: bool = True,
 ) -> int:
-    """Compile every (batch, k) serve program; returns the program count.
+    """Compile every (batch, seq, k) serve program; returns the program count.
 
+    The seq axis matters: queries pad to the tokenizer's static length
+    buckets, and each bucket is its own XLA program — warming only one seq
+    shape leaves real traffic paying compiles (or missing the AOT store).
     ``batch_buckets`` beyond 1 matter only when micro-batching is enabled
     (each coalesced batch size is its own program).
     """
+    import jax.numpy as jnp
+
+    from instacart_next_order_recommendation_tpu.tokenizer.wordpiece import (
+        LENGTH_BUCKETS,
+    )
+
     if not all(hasattr(recommender, a) for a in ("encoder", "index", "product_ids")):
         return 0  # test doubles / custom recommenders: nothing to compile
+    enc = recommender.encoder
     n = len(recommender.product_ids)
+    max_seq = enc.max_seq_length
+    seq_buckets = tuple(s for s in LENGTH_BUCKETS if s <= max_seq) or (max_seq,)
     dummy = "Product: warmup. Aisle: warmup. Department: warmup."
     n_programs = 0
     t0 = time.time()
 
     for b in batch_buckets:
-        queries = [dummy] * b
-        emb = recommender.encoder.encode_device(queries, pad_batch_to=b)
-        for k in k_buckets:
-            k_eff = min(k, n)
+        emb = None
+        for s_len in seq_buckets:
+            ids, mask = enc.tokenizer.encode_batch(
+                [dummy] * b, max_seq_length=max_seq, pad_to=s_len, pad_batch_to=b
+            )
+            emb = enc._run_encode(jnp.asarray(ids), jnp.asarray(mask))
+            n_programs += 1  # the encode program at this (b, s)
             if recommender._fused is not None and b == 1:
-                ids, mask = recommender.encoder.tokenizer.encode_batch(
-                    [dummy], max_seq_length=recommender.encoder.max_seq_length
-                )
-                recommender._fused.topk(ids, mask, k_eff)
-                n_programs += 1
+                for k in k_buckets:
+                    k_eff = min(k, n)
+                    recommender._fused.topk(ids, mask, k_eff)
+                    n_programs += 1
+                    if k_eff == n:
+                        break
+        for k in k_buckets:  # index top-k is seq-independent
+            k_eff = min(k, n)
             recommender.index.topk(np.asarray(emb), k_eff)
             n_programs += 1
             if with_filters and hasattr(recommender.index, "topk_device"):
@@ -71,11 +89,11 @@ def warm_serve_shapes(
                 n_programs += 1
             if k_eff == n:
                 break
-        n_programs += 1  # the encode program itself
     logger.info(
-        "precompiled %d serve programs (%d batch x %d k shapes) in %.1fs",
+        "precompiled %d serve programs (%d batch x %d seq x %d k shapes) in %.1fs",
         n_programs,
         len(batch_buckets),
+        len(seq_buckets),
         len(k_buckets),
         time.time() - t0,
     )
@@ -99,7 +117,18 @@ def main() -> None:
         "--batching", action="store_true",
         help="Also compile micro-batch shapes (BATCH_WINDOW_MS deployments).",
     )
+    parser.add_argument(
+        "--export-aot", type=Path, default=None, metavar="DIR",
+        help="Serialize every compiled serve executable into DIR "
+        "(serve/aot.py); a server started with ITOR_AOT_DIR=DIR then needs "
+        "no compiler at all. Shorthand for ITOR_AOT_DIR=DIR ITOR_AOT_EXPORT=1.",
+    )
     args = parser.parse_args()
+    if args.export_aot is not None:
+        import os
+
+        os.environ["ITOR_AOT_DIR"] = str(args.export_aot)
+        os.environ["ITOR_AOT_EXPORT"] = "1"
     setup_colored_logging(quiet_loggers=["jax"])
     apply_inference_device_override()
     enable_compilation_cache()

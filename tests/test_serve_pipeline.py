@@ -52,3 +52,14 @@ def test_k_capped_at_catalog(setup):
     s, i = fused.topk(ids, mask, 1000)
     assert s.shape[1] == len(texts)
     assert sorted(i[0]) == list(range(len(texts)))
+
+
+def test_packed_transfer_is_integer_space(setup):
+    """Regression: indices must never ride the wire as f32 bit patterns —
+    small int32 indices bitcast to f32 are denormals, which real TPUs flush
+    to zero (observed: every served product id collapsed to index 0). The
+    packed array must be int32 (scores bitcast in, indices native)."""
+    enc, texts, catalog, index, fused = setup
+    ids, mask = enc.tokenizer.encode_batch(["milk"], max_seq_length=enc.max_seq_length)
+    packed, k = fused.topk_device(ids, mask, 5)
+    assert np.asarray(packed).dtype == np.int32
