@@ -87,16 +87,18 @@ class Recommender:
         self._build_category_masks()
         self.encoder = TextEncoder.load(self.model_dir)
         self.product_embeddings = self._load_or_build_embeddings(batch_size, use_index)
+        if mesh is None and jax.device_count() > 1:
+            mesh = build_mesh(MeshConfig())
         if ann:
             from instacart_next_order_recommendation_tpu.index import IVFCatalogIndex
 
+            # Multi-device hosts shard the k-means build over the mesh
+            # (index/ivf.py); search runs on the default device either way.
             self.index = IVFCatalogIndex(
-                self.product_embeddings, nlist=ann_nlist, nprobe=ann_nprobe
+                self.product_embeddings, nlist=ann_nlist, nprobe=ann_nprobe, mesh=mesh
             )
             self._fused = None
             return
-        if mesh is None and jax.device_count() > 1:
-            mesh = build_mesh(MeshConfig())
         self.index = ShardedCatalogIndex(self.product_embeddings, mesh)
         # Single-device serving fuses encode+topk into one dispatch; the
         # sharded path keeps encode separate (topk runs under shard_map).

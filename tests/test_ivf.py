@@ -100,3 +100,61 @@ def test_recommender_ann_integration(tmp_path_factory):
     # filters work through the ANN path too
     filtered = rec.recommend("organic milk", top_k=5, filter_aisles=["a1"])
     assert all("Aisle: a1." in corpus[p] for p, _ in filtered)
+
+
+def test_mesh_build_invariants_and_recall():
+    """Mesh-sharded build: every row in exactly one bucket, recall bar holds."""
+    from instacart_next_order_recommendation_tpu.parallel.mesh import (
+        MeshConfig,
+        build_mesh,
+    )
+
+    q, emb = _clustered_data(0)
+    mesh = build_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    # small build_chunk forces the multi-chunk scan path (4000/8 = 500 rows/shard)
+    ivf = IVFCatalogIndex(emb, nlist=64, nprobe=16, seed=0, mesh=mesh, build_chunk=128)
+    ids = np.asarray(ivf._bucket_ids)
+    real = ids[ids >= 0]
+    assert len(real) == len(emb)
+    assert len(np.unique(real)) == len(emb)
+    _, ei = ShardedCatalogIndex(emb, mesh=None).topk(q, 10)
+    _, ai = ivf.topk(q, 10)
+    overlap = np.mean([len(set(ei[r]) & set(ai[r])) / 10.0 for r in range(len(q))])
+    assert overlap >= 0.9, overlap
+
+
+def test_mesh_build_full_probe_is_exact():
+    from instacart_next_order_recommendation_tpu.parallel.mesh import (
+        MeshConfig,
+        build_mesh,
+    )
+
+    q, emb = _clustered_data(0, n=800, b=8)
+    mesh = build_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    ivf = IVFCatalogIndex(emb, nlist=16, nprobe=16, seed=0, mesh=mesh, build_chunk=64)
+    exact = ShardedCatalogIndex(emb, mesh=None)
+    es, ei = exact.topk(q, 10)
+    as_, ai = ivf.topk(q, 10)
+    np.testing.assert_array_equal(ai, ei)
+    np.testing.assert_allclose(as_, es, atol=1e-5)
+
+
+def test_balanced_assign_respects_capacity_and_preference_order():
+    from instacart_next_order_recommendation_tpu.index.ivf import _balanced_assign
+
+    # 6 rows all prefer cluster 0 first, cluster 1 second; cap 2, nlist 4
+    pref = np.tile(np.array([[0, 1, 2, 3]], np.int32), (6, 1))
+    assign = _balanced_assign(pref, nlist=4, cap=2)
+    counts = np.bincount(assign, minlength=4)
+    assert counts.max() <= 2
+    # first two rows won cluster 0, next two spilled to 1, next two to 2
+    np.testing.assert_array_equal(assign, [0, 0, 1, 1, 2, 2])
+
+
+def test_balanced_assign_leftovers_land_in_free_slots():
+    from instacart_next_order_recommendation_tpu.index.ivf import _balanced_assign
+
+    # every row's whole preference list is cluster 0 only; cap 1, nlist 4
+    pref = np.zeros((4, 1), np.int32)
+    assign = _balanced_assign(pref, nlist=4, cap=1)
+    assert len(np.unique(assign)) == 4  # all rows placed, caps respected
