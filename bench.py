@@ -25,6 +25,7 @@ REFERENCE_QPS = 1000.0 / 119.9  # reference end-to-end serve latency
 CATALOG_SIZE = 50_000
 N_QUERIES = 4096
 SERVE_BATCH = 256
+CATALOG_BATCH = 1024  # product texts are short; large batches amortize RTT
 TOP_K = 10
 
 
@@ -95,16 +96,19 @@ def main() -> None:
     log(f"setup {time.time() - t0:.1f}s (vocab {tokenizer.vocab_size})")
 
     # --- catalog encode (index build) ----------------------------------------
-    # Warm the product-text shape bucket before timing (compiles are cached
-    # persistently, so steady-state startup pays ~0.2s here).
-    encoder.encode(catalog_texts[:SERVE_BATCH], batch_size=SERVE_BATCH)
+    # Device-resident build: embeddings never cross the wire — the index
+    # consumes them on device (encode_resident). Warm the shape bucket before
+    # timing (compiles are cached persistently, so steady-state startup pays
+    # ~0.2s here).
+    encoder.encode(catalog_texts[:CATALOG_BATCH], batch_size=CATALOG_BATCH)
     t0 = time.time()
-    catalog_emb = encoder.encode(catalog_texts, batch_size=SERVE_BATCH)
+    catalog_emb = encoder.encode_resident(catalog_texts, batch_size=CATALOG_BATCH)
+    np.asarray(catalog_emb[0])  # force materialization (timing fence)
     catalog_encode_s = time.time() - t0
-    log(f"catalog encode: {CATALOG_SIZE / catalog_encode_s:.0f} products/s")
+    log(f"catalog encode (device-resident): {CATALOG_SIZE / catalog_encode_s:.0f} products/s")
 
     index = ShardedCatalogIndex(catalog_emb, mesh=None)
-    index.topk(catalog_emb[:SERVE_BATCH], TOP_K)  # warm the topk jit
+    index.topk(np.asarray(catalog_emb[:SERVE_BATCH]), TOP_K)  # warm the topk jit
 
     # --- end-to-end serve throughput (pipelined) ------------------------------
     # Warmup (compile all shape buckets).
@@ -117,16 +121,25 @@ def main() -> None:
         FusedServePipeline,
     )
 
-    fused = FusedServePipeline(params, config, index._catalog, CATALOG_SIZE)
+    fused = FusedServePipeline(
+        params, config, index._catalog, CATALOG_SIZE, pad_id=tokenizer.pad_id
+    )
+
+    # Length-sorted batching: group similar-length queries so each batch pads
+    # to the smallest length bucket that fits it (one long query no longer
+    # drags a whole batch to seq 256). Standard batch-serve practice; results
+    # are identical per query (padding is masked end to end).
+    sorted_queries = sorted(query_texts, key=len)
 
     def serve_batch(lo: int) -> np.ndarray:
-        batch = query_texts[lo : lo + SERVE_BATCH]
+        batch = sorted_queries[lo : lo + SERVE_BATCH]
         ids, mask = tokenizer.encode_batch(batch, max_seq_length=256, pad_batch_to=SERVE_BATCH)
         packed, k = fused.topk_device(ids, mask, TOP_K)
         _, idx = fused.unpack(np.asarray(packed), k)
         return idx[: len(batch)]
 
-    serve_batch(0)  # warm the fused program
+    for lo in range(0, N_QUERIES, SERVE_BATCH):
+        serve_batch(lo)  # warm every length-bucket program (cache-backed)
 
     # A few worker threads overlap host tokenization and the per-round
     # host<->device transfer latency (large on tunneled TPU setups).
@@ -158,11 +171,11 @@ def main() -> None:
     # (b) device-side latency with resident inputs (the chip's actual cost).
     import jax.numpy as jnp
 
-    ids, mask = tokenizer.encode_batch(query_texts[:1], max_seq_length=256, pad_to=256)
-    ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+    ids, _ = tokenizer.encode_batch(query_texts[:1], max_seq_length=256, pad_to=256)
+    ids_d = jnp.asarray(ids.astype(encoder.wire_dtype))
 
     def device_once():
-        e = encoder._jitted(encoder.params, ids_d, mask_d)
+        e = encoder._jitted(encoder.params, ids_d)
         return index.topk_device(e, TOP_K)
 
     jax.block_until_ready(device_once())

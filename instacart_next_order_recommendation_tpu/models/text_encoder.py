@@ -26,6 +26,17 @@ from instacart_next_order_recommendation_tpu.models.encoder import (
 from instacart_next_order_recommendation_tpu.tokenizer import WordPieceTokenizer
 
 
+def encode_from_ids(params, ids, *, config: TowerConfig, pad_id: int):
+    """Tower forward from token ids alone (mask derived from pad positions).
+
+    The tokenizer never emits ``pad_id`` for real tokens, so
+    ``ids != pad_id`` IS the attention mask — computing it on device keeps
+    the mask off the host->device wire.
+    """
+    mask = (ids != pad_id).astype(jnp.int32)
+    return encode(params, ids.astype(jnp.int32), mask, config)
+
+
 class TextEncoder:
     """Callable tower over text: tokenization + jitted forward + normalization."""
 
@@ -54,21 +65,29 @@ class TextEncoder:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._batch_sharding = NamedSharding(mesh, P("data"))
-        self._jitted = jax.jit(partial(encode, config=self.config))
+        # The wire carries ONLY token ids (int16 when the vocab fits): the
+        # attention mask is fully determined by pad positions, so it is
+        # recomputed on device instead of transferred. Host->device bandwidth
+        # is the scarce resource on tunneled TPU setups — this halves (or
+        # quarters, with int16) the per-batch upload.
+        self.wire_dtype = np.int16 if tokenizer.vocab_size <= np.iinfo(np.int16).max else np.int32
+        self._jitted = jax.jit(
+            partial(encode_from_ids, config=self.config, pad_id=tokenizer.pad_id)
+        )
         self._aot = None
         if self._batch_sharding is None:
             from instacart_next_order_recommendation_tpu.serve.aot import AotStore
 
             self._aot = AotStore.from_env()
 
-    def _run_encode(self, ids_d, mask_d):
+    def _run_encode(self, ids_d):
         if self._aot is None:
-            return self._jitted(self.params, ids_d, mask_d)
+            return self._jitted(self.params, ids_d)
         c = self.config
         key = (
             f"encode_{c.num_layers}x{c.hidden_size}_b{ids_d.shape[0]}_s{ids_d.shape[1]}"
         )
-        return self._aot.run(key, self._jitted, (self.params, ids_d, mask_d))
+        return self._aot.run(key, self._jitted, (self.params, ids_d))
 
     @classmethod
     def load(cls, model_dir: Path | str, max_seq_length: int | None = None) -> "TextEncoder":
@@ -94,14 +113,13 @@ class TextEncoder:
             dp = self._batch_sharding.mesh.shape["data"]
             rows = pad_batch_to or len(texts)
             pad_batch_to = -(-rows // dp) * dp
-        ids, mask = self.tokenizer.encode_batch(
+        ids, _ = self.tokenizer.encode_batch(
             texts, max_seq_length=self.max_seq_length, pad_batch_to=pad_batch_to
         )
-        ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+        ids_d = jnp.asarray(ids.astype(self.wire_dtype))
         if self._batch_sharding is not None:
             ids_d = jax.device_put(ids_d, self._batch_sharding)
-            mask_d = jax.device_put(mask_d, self._batch_sharding)
-        emb = self._run_encode(ids_d, mask_d)
+        emb = self._run_encode(ids_d)
         return emb[: len(texts)]
 
     def encode(
@@ -110,13 +128,32 @@ class TextEncoder:
         batch_size: int = 64,
         show_progress: bool = False,
         num_threads: int = 4,
+        sort_by_length: bool = True,
     ) -> np.ndarray:
         """Encode texts to a [len(texts), hidden] float32 unit-norm matrix.
 
         Batches are dispatched asynchronously and synced at the end; for large
         inputs a small thread pool overlaps tokenization and per-batch
         host<->device transfer latency (significant on tunneled TPU setups).
+
+        ``sort_by_length`` groups similar-length texts into the same batch so
+        each batch pads to the smallest length bucket that fits it — one long
+        text no longer forces a whole batch to seq 256. Output order is
+        unchanged (results are permuted back); per-text embeddings are
+        batchmate-independent (padding is masked in attention and pooling).
         """
+        if sort_by_length and len(texts) > batch_size:
+            order = np.argsort([len(t) for t in texts], kind="stable")
+            sorted_out = self.encode(
+                [texts[i] for i in order],
+                batch_size=batch_size,
+                show_progress=show_progress,
+                num_threads=num_threads,
+                sort_by_length=False,
+            )
+            out = np.empty_like(sorted_out)
+            out[order] = sorted_out
+            return out
         n_batches = (len(texts) + batch_size - 1) // batch_size
         out = np.empty((len(texts), self.config.hidden_size), dtype=np.float32)
 
@@ -146,6 +183,44 @@ class TextEncoder:
         if show_progress:
             print()
         return out
+
+    def encode_resident(
+        self,
+        texts: Sequence[str],
+        batch_size: int = 1024,
+        sort_by_length: bool = True,
+    ) -> jax.Array:
+        """Encode texts into a DEVICE-resident [n, hidden] matrix (input order).
+
+        Catalog/index builds consume embeddings on device, so pulling them to
+        host is pure waste — at 50k x 384 f32 that's ~73MB over the wire, the
+        dominant cost of an index build on tunneled TPU setups. This path
+        uploads only token ids (async dispatches; tokenization of batch i+1
+        overlaps device compute of batch i), concatenates on device, and
+        un-permutes the length-sort on device. Use ``np.asarray`` on the
+        result only where a host copy is genuinely needed (disk cache).
+        """
+        n = len(texts)
+        if sort_by_length and n > batch_size:
+            order = np.argsort([len(t) for t in texts], kind="stable")
+        else:
+            order = np.arange(n)
+        chunks = []
+        for lo in range(0, n, batch_size):
+            batch = [texts[order[i]] for i in range(lo, min(lo + batch_size, n))]
+            ids, _ = self.tokenizer.encode_batch(
+                batch, max_seq_length=self.max_seq_length, pad_batch_to=batch_size
+            )
+            ids_d = jnp.asarray(ids.astype(self.wire_dtype))
+            if self._batch_sharding is not None:
+                ids_d = jax.device_put(ids_d, self._batch_sharding)
+            chunks.append(self._run_encode(ids_d))
+        emb = jnp.concatenate(chunks, axis=0)[:n] if len(chunks) > 1 else chunks[0][:n]
+        if not np.array_equal(order, np.arange(n)):
+            inv = np.empty(n, np.int32)
+            inv[order] = np.arange(n, dtype=np.int32)
+            emb = jnp.take(emb, jnp.asarray(inv), axis=0)
+        return emb
 
     def with_params(self, params: Params) -> "TextEncoder":
         """Cheap view with updated params (training eval reuses the jit cache)."""

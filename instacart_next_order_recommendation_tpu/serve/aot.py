@@ -38,13 +38,16 @@ from pathlib import Path
 logger = logging.getLogger(__name__)
 
 _SUFFIX = ".jaxexec"
+# Bump when the serve programs' calling convention changes (arguments /
+# packing): stale stores become clean misses instead of in_tree errors.
+_ABI_VERSION = "v2"
 
 
 class AotStore:
     """Disk store of serialized compiled executables, keyed by program shape."""
 
     def __init__(self, root: str | os.PathLike, export: bool = False):
-        self.root = Path(root) / self.fingerprint()
+        self.root = Path(root) / f"{_ABI_VERSION}-{self.fingerprint()}"
         self.export = export
         self._mem: dict[str, object] = {}
         self._miss: set[str] = set()

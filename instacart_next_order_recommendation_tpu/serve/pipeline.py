@@ -2,9 +2,11 @@
 
 The two-call path (encode, then top-k) costs two dispatch round trips per
 batch; on tunneled TPU setups the RTT dominates the sub-millisecond compute.
-This pipeline jits ``topk(encode(ids, mask), catalog)`` as a single program —
+This pipeline jits ``topk(encode(ids), catalog)`` as a single program —
 XLA also fuses the L2-norm output of the tower directly into the similarity
-matmul's producer chain.
+matmul's producer chain. The wire carries only token ids (int16 when the
+vocab fits): the attention mask is recomputed on device from pad positions,
+halving-to-quartering the per-batch upload.
 
 Used by the plain ``Recommender`` serve path and the bench;
 ``MonitoredRecommender`` keeps the two-call path because its API contract
@@ -14,36 +16,41 @@ reports encode and similarity timings separately
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from instacart_next_order_recommendation_tpu.models.encoder import TowerConfig, encode
+from instacart_next_order_recommendation_tpu.models.encoder import TowerConfig
+from instacart_next_order_recommendation_tpu.models.text_encoder import encode_from_ids
 from instacart_next_order_recommendation_tpu.ops import cosine_topk
 
 
 class FusedServePipeline:
-    """One-dispatch (ids, mask) -> (scores, indices) over a resident catalog."""
+    """One-dispatch ids -> (scores, indices) over a resident catalog."""
 
-    def __init__(self, params, config: TowerConfig, catalog: jax.Array, n_valid: int):
+    def __init__(
+        self, params, config: TowerConfig, catalog: jax.Array, n_valid: int, pad_id: int = 0
+    ):
         from instacart_next_order_recommendation_tpu.serve.aot import AotStore
 
         self.params = params
         self.config = config
         self.catalog = catalog
         self.n_valid = n_valid
+        self.pad_id = pad_id
+        self.wire_dtype = (
+            np.int16 if config.vocab_size <= np.iinfo(np.int16).max else np.int32
+        )
         self._jitted: dict[int, object] = {}
         self._aot = AotStore.from_env()
 
     def _fn(self, k: int):
         if k not in self._jitted:
-            config, n_valid = self.config, self.n_valid
+            config, n_valid, pad_id = self.config, self.n_valid, self.pad_id
 
             @jax.jit
-            def run(params, ids, mask, catalog):
-                emb = encode(params, ids, mask, config)
+            def run(params, ids, catalog):
+                emb = encode_from_ids(params, ids, config=config, pad_id=pad_id)
                 s, i = cosine_topk(emb, catalog, k, n_valid=n_valid)
                 # Pack scores + indices into ONE [B, 2k] array so the host
                 # fetches a single transfer (each device->host round trip
@@ -58,10 +65,14 @@ class FusedServePipeline:
             self._jitted[k] = run
         return self._jitted[k]
 
-    def topk_device(self, ids: np.ndarray, mask: np.ndarray, k: int):
-        """Async: returns the packed [B, 2k] device array (see ``unpack``)."""
+    def topk_device(self, ids: np.ndarray, mask: np.ndarray | None, k: int):
+        """Async: returns the packed [B, 2k] device array (see ``unpack``).
+
+        ``mask`` is accepted for API symmetry with the tokenizer but never
+        transferred — pad positions in ``ids`` determine it on device.
+        """
         k = min(k, self.n_valid)
-        args = (self.params, jnp.asarray(ids), jnp.asarray(mask), self.catalog)
+        args = (self.params, jnp.asarray(ids.astype(self.wire_dtype)), self.catalog)
         if self._aot is not None:
             c = self.config
             key = (
@@ -78,6 +89,8 @@ class FusedServePipeline:
         indices = packed[:, k:]
         return scores, indices
 
-    def topk(self, ids: np.ndarray, mask: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def topk(
+        self, ids: np.ndarray, mask: np.ndarray | None, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
         packed, k = self.topk_device(ids, mask, k)
         return self.unpack(np.asarray(packed), k)

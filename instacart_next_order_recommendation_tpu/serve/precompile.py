@@ -70,7 +70,7 @@ def warm_serve_shapes(
             ids, mask = enc.tokenizer.encode_batch(
                 [dummy] * b, max_seq_length=max_seq, pad_to=s_len, pad_batch_to=b
             )
-            emb = enc._run_encode(jnp.asarray(ids), jnp.asarray(mask))
+            emb = enc._run_encode(jnp.asarray(ids.astype(enc.wire_dtype)))
             n_programs += 1  # the encode program at this (b, s)
             if recommender._fused is not None and b == 1:
                 for k in k_buckets:

@@ -113,6 +113,7 @@ class Recommender:
                 self.encoder.config,
                 self.index._catalog,
                 len(self.product_ids),
+                pad_id=self.encoder.tokenizer.pad_id,
             )
 
     @staticmethod
@@ -188,13 +189,19 @@ class Recommender:
                     "Loaded %d product embeddings from index cache", len(self.product_ids)
                 )
                 return cached
-        embeddings = self.encoder.encode(
-            self.product_texts, batch_size=batch_size, show_progress=True
+        # Device-resident build: the index consumes embeddings on device, so
+        # the host never sees them unless the disk cache needs a copy (then
+        # it's ONE bulk transfer, not one per batch).
+        emb_device = self.encoder.encode_resident(
+            self.product_texts, batch_size=max(batch_size, 512)
         )
         if use_index:
+            embeddings = np.asarray(emb_device, dtype=np.float32)
             disk_index.save(self.product_ids, embeddings)
-        logger.info("Encoded corpus: %d products", len(self.product_ids))
-        return embeddings
+            logger.info("Encoded corpus: %d products", len(self.product_ids))
+            return embeddings
+        logger.info("Encoded corpus: %d products (device-resident)", len(self.product_ids))
+        return emb_device
 
     # ------------------------------------------------------------------ query
 

@@ -17,7 +17,7 @@ def test_store_roundtrip(tmp_path):
     exporter = AotStore(tmp_path, export=True)
     out = exporter.run("double", jitted, (x,))
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2 + 1)
-    files = list((tmp_path / AotStore.fingerprint()).glob("*.jaxexec"))
+    files = list(exporter.root.glob("*.jaxexec"))
     assert len(files) == 1
 
     # Fresh store (serve mode): loads the serialized executable.
@@ -76,7 +76,7 @@ def test_text_encoder_aot_end_to_end(model_dir, tmp_path, monkeypatch):
     assert enc._aot is not None and enc._aot.export
     out = enc.encode(texts, batch_size=4)
     np.testing.assert_allclose(out, ref, atol=1e-6)
-    assert list((tmp_path / AotStore.fingerprint()).glob("encode_*.jaxexec"))
+    assert list(enc._aot.root.glob("encode_*.jaxexec"))
 
     # Serve pass: loads the executable (export off).
     monkeypatch.setenv("ITOR_AOT_EXPORT", "0")

@@ -65,3 +65,41 @@ def test_mesh_sharded_encode_matches_single_device(encoder):
     a = enc.encode(texts, batch_size=8)
     b = sharded.encode(texts, batch_size=8)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sort_by_length_output_order_and_values(encoder):
+    """Length-sorted batching must return embeddings in input order, equal to
+    the unsorted path (padding is masked, so batchmates don't matter)."""
+    enc, texts = encoder
+    varied = [t * (1 + i % 5) for i, t in enumerate(texts)]  # widely varying lengths
+    ref = enc.encode(varied, batch_size=4, sort_by_length=False)
+    out = enc.encode(varied, batch_size=4, sort_by_length=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_wire_carries_ids_only_int16(encoder):
+    """Small vocabs ride the wire as int16 and no mask is transferred; the
+    device-side pad mask must reproduce the tokenizer's mask exactly."""
+    import jax.numpy as jnp
+
+    enc, texts = encoder
+    assert enc.tokenizer.vocab_size <= np.iinfo(np.int16).max
+    assert enc.wire_dtype == np.int16
+    ids, mask = enc.tokenizer.encode_batch(texts[:3], max_seq_length=enc.max_seq_length)
+    np.testing.assert_array_equal((ids != enc.tokenizer.pad_id).astype(np.int32), mask)
+    emb = enc._run_encode(jnp.asarray(ids.astype(np.int16)))
+    np.testing.assert_allclose(
+        np.asarray(emb), enc.encode(texts[:3], batch_size=4), atol=1e-5
+    )
+
+
+def test_encode_resident_matches_host_encode(encoder):
+    """Device-resident encode must equal the host path, in input order."""
+    enc, texts = encoder
+    varied = [t * (1 + i % 4) for i, t in enumerate(texts)]
+    ref = enc.encode(varied, batch_size=4)
+    out = np.asarray(enc.encode_resident(varied, batch_size=4))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # single-batch path (no concat, no permute)
+    out1 = np.asarray(enc.encode_resident(varied[:3], batch_size=8))
+    np.testing.assert_allclose(out1, ref[:3], atol=1e-5)
