@@ -31,8 +31,21 @@ from instacart_next_order_recommendation_tpu.ops import (
     masked_mean_pool_l2norm,
     multi_head_attention,
 )
+from instacart_next_order_recommendation_tpu.ops.fused_layer import (
+    supports as fused_layer_supports,
+)
 
 Params = dict[str, Any]
+
+
+def _fused_layer_enabled() -> bool:
+    import os
+
+    from instacart_next_order_recommendation_tpu.ops import use_pallas
+
+    if os.getenv("ITOR_DISABLE_FUSED_LAYER", "").strip() in ("1", "true"):
+        return False
+    return use_pallas()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -236,12 +249,34 @@ def encode(
     else:
         layer_keys = None
 
+    # Inference fast path: whole-layer fused Pallas kernel (ops/fused_layer.py)
+    # — packed [B, S, hidden] activations, no per-head HBM tensors. Measured
+    # ~3x the unfused tower forward on v5e at MiniLM shapes.
+    use_fused = (
+        dropout_key is None
+        and model_axis is None
+        and _fused_layer_enabled()
+        and fused_layer_supports(config.hidden_size, config.num_heads, s)
+    )
+
     def body(carry, scanned):
         if layer_keys is None:
             layer = scanned
             key = None
         else:
             layer, key = scanned
+        if use_fused:
+            from instacart_next_order_recommendation_tpu.ops import fused_encoder_layer
+
+            out = fused_encoder_layer(
+                carry,
+                attention_mask,
+                layer,
+                num_heads=config.num_heads,
+                scale=1.0 / (config.head_dim**0.5),
+                eps=config.layer_norm_eps,
+            )
+            return out, None
         return _encoder_layer(carry, layer, attention_mask, config, key, model_axis), None
 
     if config.remat:

@@ -57,6 +57,9 @@ from instacart_next_order_recommendation_tpu.ops.topk import (  # noqa: E402
 from instacart_next_order_recommendation_tpu.ops.mnrl import (  # noqa: E402
     mnrl_loss,
 )
+from instacart_next_order_recommendation_tpu.ops.fused_layer import (  # noqa: E402
+    fused_encoder_layer,
+)
 
 __all__ = [
     "use_pallas",
@@ -65,4 +68,5 @@ __all__ = [
     "masked_mean_pool_l2norm",
     "cosine_topk",
     "mnrl_loss",
+    "fused_encoder_layer",
 ]

@@ -47,50 +47,60 @@ def multi_head_attention_reference(
     return _attention_math(q, k, v, mask[:, None, None, :], scale)
 
 
+def _batch_block(batch: int, seq: int) -> int:
+    """Batches per program: large enough to amortize program launch overhead
+    (a (batch, heads) grid of single-example programs is launch-bound at MiniLM
+    shapes), small enough that the f32 [BB, S, S] score tile plus q/k/v blocks
+    fit comfortably in VMEM. Must divide ``batch`` exactly."""
+    cap = max(1, (4 << 20) // (seq * seq * 4))  # ~4MB of f32 scores
+    bb = min(16, cap, batch)
+    while batch % bb:
+        bb -= 1
+    return bb
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    b = pl.program_id(0)
-    mask = mask_ref[pl.ds(b, 1), :]  # (1, S) row of the full [B, S] mask block
+    q = q_ref[:, 0]  # [BB, S, D]
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    mask = mask_ref[...]  # [BB, S]
     logits = (
         jax.lax.dot_general(
             q,
             k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         * scale
     )
-    logits = logits + (1.0 - mask.astype(jnp.float32)) * _NEG_INF  # broadcast keys
+    logits = logits + (1.0 - mask.astype(jnp.float32))[:, None, :] * _NEG_INF  # key-side
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         p.astype(v.dtype),
         v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[:, 0] = out.astype(o_ref.dtype)
 
 
 def _attention_pallas_fwd_impl(q, k, v, mask, scale, interpret):
     batch, heads, seq, head_dim = q.shape
+    bb = _batch_block(batch, seq)
     kernel = functools.partial(_attn_kernel, scale=scale)
     qkv_spec = pl.BlockSpec(
-        (1, 1, seq, head_dim), lambda b, h: (b, h, 0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM
+        (bb, 1, seq, head_dim), lambda b, h: (b, h, 0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        grid=(batch, heads),
+        grid=(batch // bb, heads),
         in_specs=[
             qkv_spec,
             qkv_spec,
             qkv_spec,
-            # Full mask array per program (tiny); row-indexed in the kernel —
-            # a (1, S) block would violate TPU (8, 128) block tiling.
-            pl.BlockSpec((batch, seq), lambda b, h: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((bb, seq), lambda b, h: (b, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -152,54 +162,60 @@ def _attention_pallas_fwd(q, k, v, mask, scale, interpret):
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    """Recompute-flash backward per (batch, head) program.
+    """Recompute-flash backward per (batch-block, head) program.
 
     With P = softmax(scale·QKᵀ + bias):
         dV = Pᵀ·dO,  dP = dO·Vᵀ,  D = rowsum(P∘dP),
         dS = P∘(dP − D),  dQ = scale·dS·K,  dK = scale·dSᵀ·Q.
     Everything stays in VMEM (S ≤ 512); f32 math, outputs cast back.
     """
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
-    b = pl.program_id(0)
-    mask = mask_ref[pl.ds(b, 1), :]
+    q = q_ref[:, 0]  # [BB, S, D]
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    do = do_ref[:, 0].astype(jnp.float32)
+    mask = mask_ref[...]  # [BB, S]
 
-    def dot(a, bb, trans_b=False):
-        dims = (((1,), (1,)), ((), ())) if trans_b else (((1,), (0,)), ((), ()))
-        return jax.lax.dot_general(a, bb, dimension_numbers=dims, preferred_element_type=jnp.float32)
+    def dot(a, bb, trans_a=False, trans_b=False):
+        ca = 1 if trans_a else 2
+        cb = 2 if trans_b else 1
+        return jax.lax.dot_general(
+            a, bb, dimension_numbers=(((ca,), (cb,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
 
-    logits = dot(q, k, trans_b=True) * scale + (1.0 - mask.astype(jnp.float32)) * _NEG_INF
+    logits = dot(q, k, trans_b=True) * scale + (1.0 - mask.astype(jnp.float32))[:, None, :] * _NEG_INF
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (S, S) f32
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (BB, S, S) f32
 
-    dv = dot(jnp.transpose(p), do)  # (S, D)
-    dp = dot(do, v.astype(jnp.float32), trans_b=True)  # (S, S)
+    dv = dot(p, do, trans_a=True)  # (BB, S, D)
+    dp = dot(do, v.astype(jnp.float32), trans_b=True)  # (BB, S, S)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = p * (dp - delta)
     dq = dot(ds, k.astype(jnp.float32)) * scale
-    dk = dot(jnp.transpose(ds), q.astype(jnp.float32)) * scale
+    dk = dot(ds, q.astype(jnp.float32), trans_a=True) * scale
 
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dq_ref[:, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[:, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[:, 0] = dv.astype(dv_ref.dtype)
 
 
 def _attention_pallas_bwd_impl(q, k, v, mask, g, scale, interpret):
     batch, heads, seq, head_dim = q.shape
+    # Backward holds ~4 f32 [BB, S, S] tiles live; halve the forward block.
+    bb = _batch_block(batch, seq)
+    bb = max(1, bb // 2) if batch % max(1, bb // 2) == 0 else 1
     kernel = functools.partial(_attn_bwd_kernel, scale=scale)
     spec = pl.BlockSpec(
-        (1, 1, seq, head_dim), lambda b, h: (b, h, 0, 0),
+        (bb, 1, seq, head_dim), lambda b, h: (b, h, 0, 0),
         memory_space=pl.ANY if interpret else pltpu.VMEM,
     )
     mask_spec = pl.BlockSpec(
-        (batch, seq), lambda b, h: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM
+        (bb, seq), lambda b, h: (b, 0), memory_space=pl.ANY if interpret else pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        grid=(batch, heads),
+        grid=(batch // bb, heads),
         in_specs=[spec, spec, spec, mask_spec, spec],
         out_specs=[spec, spec, spec],
         out_shape=[

@@ -1,0 +1,303 @@
+"""Fused transformer encoder layer: one Pallas program per batch block.
+
+Why this kernel exists: the unfused layer materializes per-head
+``[B, heads, S, 32]`` tensors in HBM. With head_dim 32, TPU tiled layouts pad
+the minor dimension to 128 lanes (4x memory and bandwidth waste), and the
+per-head score matmuls become thousands of tiny ``[S,32]x[32,S]`` MXU ops that
+run latency-bound at a few TFLOP/s. Measured on v5e, attention + layout
+overhead was ~65% of the whole MiniLM tower forward.
+
+This kernel keeps activations packed ``[B, S, hidden]`` end to end (hidden is a
+multiple of 128 -> perfectly tiled) and runs a whole encoder layer per
+program:
+
+    qkv = x @ Wqkv                      (one MXU GEMM, f32 accum)
+    per head-group g (head_dim*heads_per_group == 128 lanes):
+        scores_g = Qg @ blockdiag(Kg)^T (the block-diagonal expansion turns
+        out_g   = P_g @ blockdiag(Vg)    hpg tiny per-head dots into ONE
+                                         [S,128]x[128,hpg*S] MXU dot; the 0
+                                         blocks cost hpg x FLOPs but the MXU
+                                         runs tile-aligned, which is >4x
+                                         faster than latency-bound head dots)
+    attn = out @ Wo ; x1 = LN(x + attn)
+    ffn  = gelu(x1 @ W1) @ W2 ; y = LN(x1 + ffn)
+
+All intermediates (scores, probs, FFN hidden) live in VMEM only; per layer the
+HBM traffic is x in, y out, and the weights once per grid sweep. Softmax and
+LayerNorm are f32; matmuls accumulate f32 on the MXU and store bf16, matching
+the unfused path's numerics (models/encoder.py:_encoder_layer is the oracle).
+
+Replaces the attention/FFN math sentence-transformers runs in torch for the
+reference's ``SentenceTransformer.encode``
+(/root/reference/src/inference/serve_recommendations.py:195-213).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf approximation (|err| < 2e-6 in f32;
+    invisible at bf16 storage precision). Mosaic has no erf/erfc lowering."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def supports(hidden: int, num_heads: int, seq: int) -> bool:
+    """Static shape gate: hidden tile-aligned, heads groupable to 128 lanes,
+    full-tile sequence blocks for the per-group score slices."""
+    if hidden % 128 or num_heads == 0 or hidden % num_heads:
+        return False
+    head_dim = hidden // num_heads
+    if head_dim > 128 or 128 % head_dim:
+        return False
+    hpg = 128 // head_dim
+    return num_heads % hpg == 0 and seq % 128 == 0
+
+
+def _kernel(
+    x_ref,
+    bias_ref,
+    qkv_w_ref,
+    qkv_b_ref,
+    o_w_ref,
+    o_b_ref,
+    ln1_s_ref,
+    ln1_b_ref,
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    ln2_s_ref,
+    ln2_b_ref,
+    y_ref,
+    *,
+    bb: int,
+    seq: int,
+    hidden: int,
+    num_heads: int,
+    scale: float,
+    eps: float,
+):
+    head_dim = hidden // num_heads
+    hpg = 128 // head_dim  # heads per 128-lane group
+    ngroups = num_heads // hpg
+    cdt = x_ref.dtype
+
+    x = x_ref[...].reshape(bb * seq, hidden)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    qkv = dot(x, qkv_w_ref[...]) + qkv_b_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(cdt)  # [bb*seq, 3*hidden]
+
+    # Lane masks selecting each head's columns within a 128-lane group.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    head_masks = [
+        ((lane >= i * head_dim) & (lane < (i + 1) * head_dim)).astype(cdt)
+        for i in range(hpg)
+    ]
+
+    attn_parts = []  # per group: [bb*seq, 128]
+    for g in range(ngroups):
+        lo = g * 128
+        outs_g = []
+        for b in range(bb):
+            r0 = b * seq
+            qg = qkv[r0 : r0 + seq, lo : lo + 128]
+            kg = qkv[r0 : r0 + seq, hidden + lo : hidden + lo + 128]
+            vg = qkv[r0 : r0 + seq, 2 * hidden + lo : 2 * hidden + lo + 128]
+
+            # Block-diagonal expansion: row block i carries head i's lanes.
+            k_bd = jnp.concatenate([kg * m for m in head_masks], axis=0)
+            scores = (
+                jax.lax.dot_general(
+                    qg, k_bd, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )  # [seq, hpg*seq]
+            bias = bias_ref[b]  # [1, seq] f32 key-side additive bias
+            probs = []
+            for i in range(hpg):
+                s_i = scores[:, i * seq : (i + 1) * seq] + bias
+                m_i = jnp.max(s_i, axis=-1, keepdims=True)
+                p_i = jnp.exp(s_i - m_i)
+                p_i = p_i / jnp.sum(p_i, axis=-1, keepdims=True)
+                probs.append(p_i.astype(cdt))
+            p = jnp.concatenate(probs, axis=1)  # [seq, hpg*seq]
+            v_bd = jnp.concatenate([vg * m for m in head_masks], axis=0)
+            # Per-head outputs land in their own lane block (v_bd zeros
+            # everything else) — heads recombine with no concat/transpose.
+            outs_g.append(dot(p, v_bd).astype(cdt))  # [seq, 128]
+        attn_parts.append(jnp.concatenate(outs_g, axis=0))
+
+    attn = jnp.concatenate(attn_parts, axis=1)  # [bb*seq, hidden]
+    ao = dot(attn, o_w_ref[...]) + o_b_ref[...].astype(jnp.float32)
+
+    def layer_norm(res_f32, s_ref, b_ref):
+        mean = jnp.mean(res_f32, axis=-1, keepdims=True)
+        cent = res_f32 - mean
+        var = jnp.mean(cent * cent, axis=-1, keepdims=True)
+        normed = cent * jax.lax.rsqrt(var + eps)
+        return normed * s_ref[...] + b_ref[...]
+
+    # Match the unfused path: residual add in compute dtype, LN in f32.
+    x1 = layer_norm(
+        (x + ao.astype(cdt)).astype(jnp.float32), ln1_s_ref, ln1_b_ref
+    ).astype(cdt)
+
+    h = dot(x1, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    h = _gelu_exact(h).astype(cdt)
+    f = dot(h, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
+    y = layer_norm(
+        (x1 + f.astype(cdt)).astype(jnp.float32), ln2_s_ref, ln2_b_ref
+    ).astype(cdt)
+    y_ref[...] = y.reshape(bb, seq, hidden)
+
+
+def _pick_bb(batch: int, seq: int, hidden: int, inter: int) -> int:
+    """Batch rows per program, bounded by a ~12MB VMEM activation budget."""
+    per_row = seq * (3 * hidden * 2 + inter * 6 + hidden * 10) + 128 * 4 * seq * 8
+    bb = max(1, min(8, (12 << 20) // max(per_row, 1)))
+    while batch % bb:
+        bb -= 1
+    return bb
+
+
+def _vec2(v, dtype=None):
+    v = v.reshape(1, -1)
+    return v if dtype is None else v.astype(dtype)
+
+
+def _call(x, bias, qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b, w1, b1, w2, b2,
+          ln2_s, ln2_b, *, num_heads, scale, eps, interpret):
+    batch, seq, hidden = x.shape
+    inter = w1.shape[-1]
+    bb = _pick_bb(batch, seq, hidden, inter)
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=ms)
+
+    kernel = functools.partial(
+        _kernel, bb=bb, seq=seq, hidden=hidden, num_heads=num_heads,
+        scale=scale, eps=eps,
+    )
+    consts = [qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b]
+    flops_attn = 2 * 2 * batch * seq * seq * (128 // (hidden // num_heads)) * hidden
+    flops_gemm = 2 * batch * seq * (4 * hidden * hidden + 2 * hidden * inter)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, seq, hidden), lambda i: (i, 0, 0), memory_space=ms),
+            pl.BlockSpec((bb, 1, seq), lambda i: (i, 0, 0), memory_space=ms),
+            *[const_spec(a) for a in consts],
+        ],
+        out_specs=pl.BlockSpec((bb, seq, hidden), lambda i: (i, 0, 0), memory_space=ms),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_gemm + flops_attn,
+            bytes_accessed=2 * batch * seq * hidden * x.dtype.itemsize,
+            transcendentals=batch * seq * (num_heads * seq + inter),
+        ),
+        interpret=interpret,
+    )(x, bias, *consts)
+
+
+@functools.lru_cache(maxsize=None)
+def _call_partitioned(num_heads, scale, eps, interpret):
+    """custom_partitioning wrapper: batch partitionable, weights replicated
+    (same mechanism as ops/partition.py for attention/pool+norm)."""
+    from instacart_next_order_recommendation_tpu.ops.partition import batch_partitioned
+
+    def impl(*args):
+        return _call(*args, num_heads=num_heads, scale=scale, eps=eps,
+                     interpret=interpret)
+
+    rule = (
+        "b s h, b u8 s, a c, u0 c, d e, u1 e, u2 f, u3 g, k l, u4 l, m n,"
+        " u5 n, u6 p, u7 r -> b s h"
+    )
+    return batch_partitioned(
+        impl,
+        rule=rule,
+        need_replication=(
+            "s", "h", "a", "c", "d", "e", "f", "g", "k", "l", "m", "n",
+            "p", "r", "u0", "u1", "u2", "u3", "u4", "u5", "u6", "u7", "u8",
+        ),
+    )
+
+
+def fused_encoder_layer(
+    x: jax.Array,
+    mask: jax.Array,
+    layer: dict,
+    *,
+    num_heads: int,
+    scale: float,
+    eps: float,
+) -> jax.Array:
+    """One post-LN BERT encoder layer, fully fused on TPU.
+
+    x: [B, S, hidden] (compute dtype); mask: [B, S] with 1 = real token.
+    ``layer`` uses the same param names as models/encoder.py. Inference-only
+    (no dropout); callers gate on ``supports()`` and fall back to the unfused
+    path otherwise.
+    """
+    from instacart_next_order_recommendation_tpu.ops import pallas_interpret
+
+    cdt = x.dtype
+    qkv_w = jnp.concatenate(
+        [layer["q_w"], layer["k_w"], layer["v_w"]], axis=1
+    ).astype(cdt)
+    qkv_b = _vec2(
+        jnp.concatenate([layer["q_b"], layer["k_b"], layer["v_b"]]), cdt
+    )
+    bias = ((1.0 - mask.astype(jnp.float32)) * _NEG_INF)[:, None, :]  # [B,1,S]
+    if jax.device_count() == 1:
+        call = functools.partial(
+            _call, num_heads=num_heads, scale=scale, eps=eps,
+            interpret=pallas_interpret(),
+        )
+    else:
+        call = _call_partitioned(num_heads, scale, eps, pallas_interpret())
+    return call(
+        x,
+        bias,
+        qkv_w,
+        qkv_b,
+        layer["o_w"].astype(cdt),
+        _vec2(layer["o_b"], cdt),
+        _vec2(layer["attn_ln_scale"], jnp.float32),
+        _vec2(layer["attn_ln_bias"], jnp.float32),
+        layer["ffn_w1"].astype(cdt),
+        _vec2(layer["ffn_b1"], cdt),
+        layer["ffn_w2"].astype(cdt),
+        _vec2(layer["ffn_b2"], cdt),
+        _vec2(layer["ffn_ln_scale"], jnp.float32),
+        _vec2(layer["ffn_ln_bias"], jnp.float32),
+    )

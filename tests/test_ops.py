@@ -265,3 +265,114 @@ class TestPartitionedOps:
         assert out.sharding.spec == P("data")
         ref = masked_mean_pool_l2norm_reference(hidden, mask)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestFusedEncoderLayer:
+    """ops/fused_layer.py vs the unfused models/encoder.py layer (oracle)."""
+
+    def _layer_params(self, rng, hidden, inter):
+        def w(*shape):
+            return jnp.asarray(0.05 * rng.standard_normal(shape), jnp.float32)
+
+        return {
+            "q_w": w(hidden, hidden), "q_b": w(hidden),
+            "k_w": w(hidden, hidden), "k_b": w(hidden),
+            "v_w": w(hidden, hidden), "v_b": w(hidden),
+            "o_w": w(hidden, hidden), "o_b": w(hidden),
+            "attn_ln_scale": jnp.ones((hidden,), jnp.float32),
+            "attn_ln_bias": w(hidden),
+            "ffn_w1": w(hidden, inter), "ffn_b1": w(inter),
+            "ffn_w2": w(inter, hidden), "ffn_b2": w(hidden),
+            "ffn_ln_scale": jnp.ones((hidden,), jnp.float32),
+            "ffn_ln_bias": w(hidden),
+        }
+
+    def test_supports_gate(self):
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        assert fused_layer.supports(384, 12, 128)   # MiniLM-L6
+        assert fused_layer.supports(768, 12, 256)   # mpnet-base class
+        assert not fused_layer.supports(384, 12, 96)   # seq not 128-aligned
+        assert not fused_layer.supports(384, 5, 128)   # heads not groupable
+        assert not fused_layer.supports(200, 8, 128)   # hidden not tiled
+
+    def test_erf_approximation(self, rng):
+        from instacart_next_order_recommendation_tpu.ops.fused_layer import _erf
+
+        x = jnp.asarray(rng.uniform(-6, 6, (4, 128)), jnp.float32)
+        ref = jax.scipy.special.erf(x)
+        np.testing.assert_allclose(np.asarray(_erf(x)), np.asarray(ref), atol=5e-6)
+
+    @pytest.mark.parametrize("batch,heads", [(4, 4), (1, 2)])
+    def test_matches_unfused_layer(self, rng, batch, heads):
+        import dataclasses
+        import functools
+
+        from instacart_next_order_recommendation_tpu.models.encoder import (
+            MINILM_L6,
+            _encoder_layer,
+        )
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        hidden, inter, seq = 128, 256, 128
+        layer = self._layer_params(rng, hidden, inter)
+        config = dataclasses.replace(
+            MINILM_L6, hidden_size=hidden, num_heads=heads, intermediate_size=inter
+        )
+        x = jnp.asarray(0.5 * rng.standard_normal((batch, seq, hidden)), jnp.float32)
+        lengths = rng.integers(seq // 2, seq + 1, size=batch)
+        mask = jnp.asarray(
+            (np.arange(seq)[None, :] < lengths[:, None]).astype(np.float32)
+        )
+        ref = _encoder_layer(x, layer, mask, config, None)
+        call = functools.partial(
+            fused_layer._call,
+            num_heads=heads,
+            scale=1.0 / (config.head_dim**0.5),
+            eps=config.layer_norm_eps,
+            interpret=True,
+        )
+        cdt = x.dtype
+        qkv_w = jnp.concatenate([layer["q_w"], layer["k_w"], layer["v_w"]], axis=1)
+        qkv_b = jnp.concatenate([layer["q_b"], layer["k_b"], layer["v_b"]])
+        bias = ((1.0 - mask) * -1e9)[:, None, :]
+        out = call(
+            x, bias, qkv_w.astype(cdt), qkv_b.reshape(1, -1).astype(cdt),
+            layer["o_w"].astype(cdt), layer["o_b"].reshape(1, -1).astype(cdt),
+            layer["attn_ln_scale"].reshape(1, -1), layer["attn_ln_bias"].reshape(1, -1),
+            layer["ffn_w1"].astype(cdt), layer["ffn_b1"].reshape(1, -1).astype(cdt),
+            layer["ffn_w2"].astype(cdt), layer["ffn_b2"].reshape(1, -1).astype(cdt),
+            layer["ffn_ln_scale"].reshape(1, -1), layer["ffn_ln_bias"].reshape(1, -1),
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_masked_positions_do_not_leak(self, rng):
+        """Garbage at padded key positions must not change real-token output."""
+        import functools
+
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        hidden, inter, seq, batch, heads = 128, 256, 128, 2, 4
+        layer = self._layer_params(rng, hidden, inter)
+        x = jnp.asarray(0.5 * rng.standard_normal((batch, seq, hidden)), jnp.float32)
+        n_real = 70
+        mask = jnp.asarray(
+            (np.arange(seq)[None, :] < n_real).astype(np.float32).repeat(batch, 0)
+        )
+        call = functools.partial(
+            fused_layer.fused_encoder_layer,
+            layer=layer, num_heads=heads, scale=0.176, eps=1e-12,
+        )
+        import instacart_next_order_recommendation_tpu.ops as ops_mod
+
+        orig = ops_mod.pallas_interpret
+        try:
+            ops_mod.pallas_interpret = lambda: True
+            a = call(x, mask)
+            x2 = x.at[:, n_real:, :].set(777.0)
+            b = call(x2, mask)
+        finally:
+            ops_mod.pallas_interpret = orig
+        np.testing.assert_allclose(
+            np.asarray(a[:, :n_real]), np.asarray(b[:, :n_real]), atol=1e-5
+        )
