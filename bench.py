@@ -141,9 +141,10 @@ def main() -> None:
     for lo in range(0, N_QUERIES, SERVE_BATCH):
         serve_batch(lo)  # warm every length-bucket program (cache-backed)
 
-    # A few worker threads overlap host tokenization and the per-round
-    # host<->device transfer latency (large on tunneled TPU setups).
-    with ThreadPoolExecutor(4) as ex:
+    # Worker threads overlap host tokenization and the per-round
+    # host<->device transfer latency (large on tunneled TPU setups); 8 keeps
+    # the device queue full against the ~25ms readback RTT.
+    with ThreadPoolExecutor(8) as ex:
         t0 = time.time()
         results = list(ex.map(serve_batch, range(0, N_QUERIES, SERVE_BATCH)))
         elapsed = time.time() - t0

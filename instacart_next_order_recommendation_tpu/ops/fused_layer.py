@@ -113,9 +113,10 @@ def _kernel(
     qkv = dot(x, qkv_w_ref[...]) + qkv_b_ref[...].astype(jnp.float32)
     qkv = qkv.astype(cdt)  # [bb*seq, 3*hidden]
 
-    # Lane masks selecting each head's columns within a 128-lane group.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    head_masks = [
+    # Lane masks selecting each head's columns within a 128-lane group; the
+    # k and v tiles are masked together in one [seq, 256] pass per block.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1) % 128
+    kv_masks = [
         ((lane >= i * head_dim) & (lane < (i + 1) * head_dim)).astype(cdt)
         for i in range(hpg)
     ]
@@ -131,7 +132,10 @@ def _kernel(
             vg = qkv[r0 : r0 + seq, 2 * hidden + lo : 2 * hidden + lo + 128]
 
             # Block-diagonal expansion: row block i carries head i's lanes.
-            k_bd = jnp.concatenate([kg * m for m in head_masks], axis=0)
+            kv = jnp.concatenate([kg, vg], axis=1)  # [seq, 256]
+            kv_bd = jnp.concatenate([kv * m for m in kv_masks], axis=0)
+            k_bd = kv_bd[:, :128]
+            v_bd = kv_bd[:, 128:]
             scores = (
                 jax.lax.dot_general(
                     qg, k_bd, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -141,17 +145,22 @@ def _kernel(
             )  # [seq, hpg*seq]
             bias = bias_ref[b]  # [1, seq] f32 key-side additive bias
             probs = []
+            zs = []
             for i in range(hpg):
                 s_i = scores[:, i * seq : (i + 1) * seq] + bias
                 m_i = jnp.max(s_i, axis=-1, keepdims=True)
                 p_i = jnp.exp(s_i - m_i)
-                p_i = p_i / jnp.sum(p_i, axis=-1, keepdims=True)
+                # Defer the 1/sum to after the PV dot: divide [seq, 128]
+                # there instead of [seq, hpg*seq] here.
+                zs.append(jnp.sum(p_i, axis=-1, keepdims=True))
                 probs.append(p_i.astype(cdt))
             p = jnp.concatenate(probs, axis=1)  # [seq, hpg*seq]
-            v_bd = jnp.concatenate([vg * m for m in head_masks], axis=0)
+            z = jnp.concatenate(
+                [jnp.broadcast_to(z_i, (seq, head_dim)) for z_i in zs], axis=1
+            )  # [seq, 128] per-head denominators aligned with output lanes
             # Per-head outputs land in their own lane block (v_bd zeros
             # everything else) — heads recombine with no concat/transpose.
-            outs_g.append(dot(p, v_bd).astype(cdt))  # [seq, 128]
+            outs_g.append((dot(p, v_bd) / z).astype(cdt))  # [seq, 128]
         attn_parts.append(jnp.concatenate(outs_g, axis=0))
 
     attn = jnp.concatenate(attn_parts, axis=1)  # [bb*seq, hidden]
