@@ -89,6 +89,8 @@ def _kernel(
     ln2_s_ref,
     ln2_b_ref,
     y_ref,
+    qkv_ref,
+    attn_ref,
     *,
     bb: int,
     seq: int,
@@ -96,6 +98,7 @@ def _kernel(
     num_heads: int,
     scale: float,
     eps: float,
+    ffn_chunks: int,
 ):
     head_dim = hidden // num_heads
     hpg = 128 // head_dim  # heads per 128-lane group
@@ -111,7 +114,9 @@ def _kernel(
         )
 
     qkv = dot(x, qkv_w_ref[...]) + qkv_b_ref[...].astype(jnp.float32)
-    qkv = qkv.astype(cdt)  # [bb*seq, 3*hidden]
+    # Stage qkv in a VMEM scratch ref: the batch fori_loop below needs
+    # dynamic row slices, which Mosaic supports on refs but not on values.
+    qkv_ref[...] = qkv.astype(cdt)  # [bb*seq, 3*hidden]
 
     # Lane masks selecting each head's columns within a 128-lane group; the
     # k and v tiles are masked together in one [seq, 256] pass per block.
@@ -121,15 +126,18 @@ def _kernel(
         for i in range(hpg)
     ]
 
-    attn_parts = []  # per group: [bb*seq, 128]
-    for g in range(ngroups):
-        lo = g * 128
-        outs_g = []
-        for b in range(bb):
-            r0 = b * seq
-            qg = qkv[r0 : r0 + seq, lo : lo + 128]
-            kg = qkv[r0 : r0 + seq, hidden + lo : hidden + lo + 128]
-            vg = qkv[r0 : r0 + seq, 2 * hidden + lo : 2 * hidden + lo + 128]
+    # fori_loop over the batch rows (NOT unrolled): only one example's score
+    # tiles are live at a time, which is what lets bb grow to 8-16 rows (big
+    # GEMMs) without blowing VMEM. Attention output lands in a VMEM scratch.
+    def attn_body(b, _):
+        r0 = pl.multiple_of(b * seq, seq)
+        bias = bias_ref[pl.ds(b, 1)].reshape(1, seq)  # f32 key-side bias
+        rows = qkv_ref[pl.ds(r0, seq), :]
+        for g in range(ngroups):
+            lo = g * 128
+            qg = rows[:, lo : lo + 128]
+            kg = rows[:, hidden + lo : hidden + lo + 128]
+            vg = rows[:, 2 * hidden + lo : 2 * hidden + lo + 128]
 
             # Block-diagonal expansion: row block i carries head i's lanes.
             kv = jnp.concatenate([kg, vg], axis=1)  # [seq, 256]
@@ -143,7 +151,6 @@ def _kernel(
                 )
                 * scale
             )  # [seq, hpg*seq]
-            bias = bias_ref[b]  # [1, seq] f32 key-side additive bias
             probs = []
             zs = []
             for i in range(hpg):
@@ -160,10 +167,13 @@ def _kernel(
             )  # [seq, 128] per-head denominators aligned with output lanes
             # Per-head outputs land in their own lane block (v_bd zeros
             # everything else) — heads recombine with no concat/transpose.
-            outs_g.append((dot(p, v_bd) / z).astype(cdt))  # [seq, 128]
-        attn_parts.append(jnp.concatenate(outs_g, axis=0))
+            attn_ref[pl.ds(r0, seq), lo : lo + 128] = (
+                dot(p, v_bd) / z
+            ).astype(cdt)
+        return 0
 
-    attn = jnp.concatenate(attn_parts, axis=1)  # [bb*seq, hidden]
+    jax.lax.fori_loop(0, bb, attn_body, 0)
+    attn = attn_ref[...]  # [bb*seq, hidden]
     ao = dot(attn, o_w_ref[...]) + o_b_ref[...].astype(jnp.float32)
 
     def layer_norm(res_f32, s_ref, b_ref):
@@ -178,9 +188,18 @@ def _kernel(
         (x + ao.astype(cdt)).astype(jnp.float32), ln1_s_ref, ln1_b_ref
     ).astype(cdt)
 
-    h = dot(x1, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
-    h = _gelu_exact(h).astype(cdt)
-    f = dot(h, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
+    # FFN in chunks over the intermediate dim: caps the f32 GELU transient at
+    # [bb*seq, inter/chunks] so large bb fits VMEM.
+    inter = w1_ref.shape[-1]
+    step = inter // ffn_chunks
+    f = b2_ref[...].astype(jnp.float32)
+    for c in range(ffn_chunks):
+        lo = c * step
+        h_c = dot(x1, w1_ref[:, lo : lo + step]) + b1_ref[
+            :, lo : lo + step
+        ].astype(jnp.float32)
+        h_c = _gelu_exact(h_c).astype(cdt)
+        f = f + dot(h_c, w2_ref[pl.ds(lo, step), :])
     y = layer_norm(
         (x1 + f.astype(cdt)).astype(jnp.float32), ln2_s_ref, ln2_b_ref
     ).astype(cdt)
@@ -188,9 +207,13 @@ def _kernel(
 
 
 def _pick_bb(batch: int, seq: int, hidden: int, inter: int) -> int:
-    """Batch rows per program, bounded by a ~12MB VMEM activation budget."""
-    per_row = seq * (3 * hidden * 2 + inter * 6 + hidden * 10) + 128 * 4 * seq * 8
-    bb = max(1, min(8, (12 << 20) // max(per_row, 1)))
+    """Batch rows per program. Scores live one example at a time (fori_loop)
+    and the FFN is chunked, so the budget is set by the persistent [bb*seq]
+    activations: x, qkv, attn scratch, x1, FFN chunk tiles."""
+    # ~8 hidden-width bf16 tensors per row (x/y double-buffered blocks, qkv
+    # scratch, attn scratch, x1, f) — FFN chunking caps the rest.
+    per_row = seq * hidden * 16
+    bb = max(1, min(8, (10 << 20) // max(per_row, 1)))
     while batch % bb:
         bb -= 1
     return bb
@@ -211,9 +234,13 @@ def _call(x, bias, qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b, w1, b1, w2, b2,
     def const_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=ms)
 
+    # Cap the f32 GELU transient at ~2MB.
+    ffn_chunks = 1
+    while bb * seq * (inter // ffn_chunks) * 4 > (2 << 20) and inter % (ffn_chunks * 2) == 0:
+        ffn_chunks *= 2
     kernel = functools.partial(
         _kernel, bb=bb, seq=seq, hidden=hidden, num_heads=num_heads,
-        scale=scale, eps=eps,
+        scale=scale, eps=eps, ffn_chunks=ffn_chunks,
     )
     consts = [qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b]
     flops_attn = 2 * 2 * batch * seq * seq * (128 // (hidden // num_heads)) * hidden
@@ -228,6 +255,10 @@ def _call(x, bias, qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b, w1, b1, w2, b2,
         ],
         out_specs=pl.BlockSpec((bb, seq, hidden), lambda i: (i, 0, 0), memory_space=ms),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bb * seq, 3 * hidden), x.dtype),
+            pltpu.VMEM((bb * seq, hidden), x.dtype),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=flops_gemm + flops_attn,
             bytes_accessed=2 * batch * seq * hidden * x.dtype.itemsize,
