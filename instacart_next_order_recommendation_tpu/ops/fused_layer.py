@@ -285,9 +285,10 @@ def _call_partitioned(num_heads, scale, eps, interpret):
     return batch_partitioned(
         impl,
         rule=rule,
+        # Shardy requires these sorted by first appearance in the rule.
         need_replication=(
-            "s", "h", "a", "c", "d", "e", "f", "g", "k", "l", "m", "n",
-            "p", "r", "u0", "u1", "u2", "u3", "u4", "u5", "u6", "u7", "u8",
+            "s", "h", "u8", "a", "c", "u0", "d", "e", "u1", "u2", "f",
+            "u3", "g", "k", "l", "u4", "m", "n", "u5", "u6", "p", "u7", "r",
         ),
     )
 

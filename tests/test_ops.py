@@ -376,3 +376,43 @@ class TestFusedEncoderLayer:
         np.testing.assert_allclose(
             np.asarray(a[:, :n_real]), np.asarray(b[:, :n_real]), atol=1e-5
         )
+
+    def test_fused_layer_partitioned(self, rng):
+        """jit-GSPMD over the mesh: batch shards, weights replicate, output
+        stays batch-sharded with no collectives in the compiled module."""
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from jax.sharding import Mesh
+
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        hidden, inter, seq, batch, heads = 128, 256, 128, 16, 4
+        layer = self._layer_params(rng, hidden, inter)
+        x = jnp.asarray(0.3 * rng.standard_normal((batch, seq, hidden)), jnp.float32)
+        mask = jnp.ones((batch, seq), jnp.float32)
+        cdt = x.dtype
+        qkv_w = jnp.concatenate([layer["q_w"], layer["k_w"], layer["v_w"]], axis=1)
+        qkv_b = jnp.concatenate([layer["q_b"], layer["k_b"], layer["v_b"]])
+        bias = ((1.0 - mask) * -1e9)[:, None, :]
+        args = [
+            x, bias, qkv_w.astype(cdt), qkv_b.reshape(1, -1).astype(cdt),
+            layer["o_w"].astype(cdt), layer["o_b"].reshape(1, -1).astype(cdt),
+            layer["attn_ln_scale"].reshape(1, -1), layer["attn_ln_bias"].reshape(1, -1),
+            layer["ffn_w1"].astype(cdt), layer["ffn_b1"].reshape(1, -1).astype(cdt),
+            layer["ffn_w2"].astype(cdt), layer["ffn_b2"].reshape(1, -1).astype(cdt),
+            layer["ffn_ln_scale"].reshape(1, -1), layer["ffn_ln_bias"].reshape(1, -1),
+        ]
+        sh = NamedSharding(mesh, P("data"))
+        sharded = [jax.device_put(args[0], sh), jax.device_put(args[1], sh), *args[2:]]
+        fn = jax.jit(fused_layer._call_partitioned(heads, 0.176, 1e-12, True))
+        out = fn(*sharded)
+        assert out.sharding.spec == P("data")
+        ref = fused_layer._call(
+            *args, num_heads=heads, scale=0.176, eps=1e-12, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        hlo = fn.lower(*sharded).compile().as_text()
+        assert "all-gather" not in hlo and "all-reduce" not in hlo
