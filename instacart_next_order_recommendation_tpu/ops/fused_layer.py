@@ -63,14 +63,14 @@ def _gelu_exact(x):
 
 def supports(hidden: int, num_heads: int, seq: int) -> bool:
     """Static shape gate: hidden tile-aligned, heads groupable to 128 lanes,
-    full-tile sequence blocks for the per-group score slices."""
+    sequence a sublane multiple (K/V pad to a 128-lane multiple in VMEM)."""
     if hidden % 128 or num_heads == 0 or hidden % num_heads:
         return False
     head_dim = hidden // num_heads
     if head_dim > 128 or 128 % head_dim:
         return False
     hpg = 128 // head_dim
-    return num_heads % hpg == 0 and seq % 128 == 0
+    return num_heads % hpg == 0 and seq % 16 == 0 and seq >= 16
 
 
 def _kernel(
@@ -129,9 +129,14 @@ def _kernel(
     # fori_loop over the batch rows (NOT unrolled): only one example's score
     # tiles are live at a time, which is what lets bb grow to 8-16 rows (big
     # GEMMs) without blowing VMEM. Attention output lands in a VMEM scratch.
+    # Key/value rows pad to a 128-lane multiple so the per-head score slices
+    # stay tile-aligned for any seq % 16 == 0; the padded-key bias below
+    # drives their probabilities to zero.
+    skv = -(-seq // 128) * 128
+
     def attn_body(b, _):
         r0 = pl.multiple_of(b * seq, seq)
-        bias = bias_ref[pl.ds(b, 1)].reshape(1, seq)  # f32 key-side bias
+        bias = bias_ref[pl.ds(b, 1)].reshape(1, skv)  # f32 key-side bias
         rows = qkv_ref[pl.ds(r0, seq), :]
         for g in range(ngroups):
             lo = g * 128
@@ -141,6 +146,10 @@ def _kernel(
 
             # Block-diagonal expansion: row block i carries head i's lanes.
             kv = jnp.concatenate([kg, vg], axis=1)  # [seq, 256]
+            if skv != seq:
+                kv = jnp.concatenate(
+                    [kv, jnp.zeros((skv - seq, 256), cdt)], axis=0
+                )
             kv_bd = jnp.concatenate([kv * m for m in kv_masks], axis=0)
             k_bd = kv_bd[:, :128]
             v_bd = kv_bd[:, 128:]
@@ -150,18 +159,18 @@ def _kernel(
                     preferred_element_type=jnp.float32,
                 )
                 * scale
-            )  # [seq, hpg*seq]
+            )  # [seq, hpg*skv]
             probs = []
             zs = []
             for i in range(hpg):
-                s_i = scores[:, i * seq : (i + 1) * seq] + bias
+                s_i = scores[:, i * skv : (i + 1) * skv] + bias
                 m_i = jnp.max(s_i, axis=-1, keepdims=True)
                 p_i = jnp.exp(s_i - m_i)
                 # Defer the 1/sum to after the PV dot: divide [seq, 128]
-                # there instead of [seq, hpg*seq] here.
+                # there instead of [seq, hpg*skv] here.
                 zs.append(jnp.sum(p_i, axis=-1, keepdims=True))
                 probs.append(p_i.astype(cdt))
-            p = jnp.concatenate(probs, axis=1)  # [seq, hpg*seq]
+            p = jnp.concatenate(probs, axis=1)  # [seq, hpg*skv]
             z = jnp.concatenate(
                 [jnp.broadcast_to(z_i, (seq, head_dim)) for z_i in zs], axis=1
             )  # [seq, 128] per-head denominators aligned with output lanes
@@ -211,9 +220,13 @@ def _pick_bb(batch: int, seq: int, hidden: int, inter: int) -> int:
     and the FFN is chunked, so the budget is set by the persistent [bb*seq]
     activations: x, qkv, attn scratch, x1, FFN chunk tiles."""
     # ~8 hidden-width bf16 tensors per row (x/y double-buffered blocks, qkv
-    # scratch, attn scratch, x1, f) — FFN chunking caps the rest.
+    # scratch, attn scratch, x1, f) — FFN chunking caps the rest. The
+    # per-example score/prob tiles ([seq, hpg*skv], hpg<=4) are transient but
+    # count against the same 16MB scoped VMEM.
+    skv = -(-seq // 128) * 128
     per_row = seq * hidden * 16
-    bb = max(1, min(8, (10 << 20) // max(per_row, 1)))
+    score_transient = seq * skv * 4 * 6
+    bb = max(1, min(8, ((9 << 20) - score_transient) // max(per_row, 1)))
     while batch % bb:
         bb -= 1
     return bb
@@ -250,7 +263,7 @@ def _call(x, bias, qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b, w1, b1, w2, b2,
         grid=(batch // bb,),
         in_specs=[
             pl.BlockSpec((bb, seq, hidden), lambda i: (i, 0, 0), memory_space=ms),
-            pl.BlockSpec((bb, 1, seq), lambda i: (i, 0, 0), memory_space=ms),
+            pl.BlockSpec((bb, 1, bias.shape[-1]), lambda i: (i, 0, 0), memory_space=ms),
             *[const_spec(a) for a in consts],
         ],
         out_specs=pl.BlockSpec((bb, seq, hidden), lambda i: (i, 0, 0), memory_space=ms),
@@ -279,7 +292,7 @@ def _call_partitioned(num_heads, scale, eps, interpret):
                      interpret=interpret)
 
     rule = (
-        "b s h, b u8 s, a c, u0 c, d e, u1 e, u2 f, u3 g, k l, u4 l, m n,"
+        "b s h, b u8 s2, a c, u0 c, d e, u1 e, u2 f, u3 g, k l, u4 l, m n,"
         " u5 n, u6 p, u7 r -> b s h"
     )
     return batch_partitioned(
@@ -287,7 +300,7 @@ def _call_partitioned(num_heads, scale, eps, interpret):
         rule=rule,
         # Shardy requires these sorted by first appearance in the rule.
         need_replication=(
-            "s", "h", "u8", "a", "c", "u0", "d", "e", "u1", "u2", "f",
+            "s", "h", "u8", "s2", "a", "c", "u0", "d", "e", "u1", "u2", "f",
             "u3", "g", "k", "l", "u4", "m", "n", "u5", "u6", "p", "u7", "r",
         ),
     )
@@ -318,7 +331,13 @@ def fused_encoder_layer(
     qkv_b = _vec2(
         jnp.concatenate([layer["q_b"], layer["k_b"], layer["v_b"]]), cdt
     )
-    bias = ((1.0 - mask.astype(jnp.float32)) * _NEG_INF)[:, None, :]  # [B,1,S]
+    # Key-side additive bias, padded to the kernel's 128-multiple K/V length
+    # (padded keys get -inf so their probabilities vanish). [B, 1, skv]
+    seq = x.shape[1]
+    skv = -(-seq // 128) * 128
+    bias = ((1.0 - mask.astype(jnp.float32)) * _NEG_INF)[:, None, :]
+    if skv != seq:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, skv - seq)), constant_values=_NEG_INF)
     if jax.device_count() == 1:
         call = functools.partial(
             _call, num_heads=num_heads, scale=scale, eps=eps,

@@ -28,8 +28,11 @@ SEP_TOKEN = "[SEP]"
 MASK_TOKEN = "[MASK]"
 SPECIAL_TOKENS = [PAD_TOKEN, UNK_TOKEN, CLS_TOKEN, SEP_TOKEN, MASK_TOKEN]
 
-# Static sequence-length buckets (powers of two up to BERT's positional limit).
-LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512)
+# Static sequence-length buckets up to BERT's positional limit. Finer than
+# powers of two in the 64-256 range: the fused encoder layer accepts any
+# multiple of 16 (K/V pad to 128 in VMEM), and tower FLOPs scale with the
+# padded length, so a 150-token query pays 160 instead of 256.
+LENGTH_BUCKETS = (16, 32, 48, 64, 96, 128, 160, 192, 224, 256, 512)
 
 
 def bucket_length(max_token_len: int, max_seq_length: int = 256) -> int:

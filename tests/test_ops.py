@@ -292,7 +292,9 @@ class TestFusedEncoderLayer:
 
         assert fused_layer.supports(384, 12, 128)   # MiniLM-L6
         assert fused_layer.supports(768, 12, 256)   # mpnet-base class
-        assert not fused_layer.supports(384, 12, 96)   # seq not 128-aligned
+        assert fused_layer.supports(384, 12, 96)    # K/V pad to 128 in VMEM
+        assert fused_layer.supports(384, 12, 32)    # catalog-text bucket
+        assert not fused_layer.supports(384, 12, 40)   # not a sublane multiple
         assert not fused_layer.supports(384, 5, 128)   # heads not groupable
         assert not fused_layer.supports(200, 8, 128)   # hidden not tiled
 
@@ -303,8 +305,8 @@ class TestFusedEncoderLayer:
         ref = jax.scipy.special.erf(x)
         np.testing.assert_allclose(np.asarray(_erf(x)), np.asarray(ref), atol=5e-6)
 
-    @pytest.mark.parametrize("batch,heads", [(4, 4), (1, 2)])
-    def test_matches_unfused_layer(self, rng, batch, heads):
+    @pytest.mark.parametrize("batch,heads,seq", [(4, 4, 128), (1, 2, 128), (2, 4, 96), (3, 4, 32)])
+    def test_matches_unfused_layer(self, rng, batch, heads, seq):
         import dataclasses
         import functools
 
@@ -314,7 +316,7 @@ class TestFusedEncoderLayer:
         )
         from instacart_next_order_recommendation_tpu.ops import fused_layer
 
-        hidden, inter, seq = 128, 256, 128
+        hidden, inter = 128, 256
         layer = self._layer_params(rng, hidden, inter)
         config = dataclasses.replace(
             MINILM_L6, hidden_size=hidden, num_heads=heads, intermediate_size=inter
@@ -335,7 +337,10 @@ class TestFusedEncoderLayer:
         cdt = x.dtype
         qkv_w = jnp.concatenate([layer["q_w"], layer["k_w"], layer["v_w"]], axis=1)
         qkv_b = jnp.concatenate([layer["q_b"], layer["k_b"], layer["v_b"]])
+        skv = -(-seq // 128) * 128
         bias = ((1.0 - mask) * -1e9)[:, None, :]
+        bias = np.pad(np.asarray(bias), ((0, 0), (0, 0), (0, skv - seq)), constant_values=-1e9)
+        bias = jnp.asarray(bias)
         out = call(
             x, bias, qkv_w.astype(cdt), qkv_b.reshape(1, -1).astype(cdt),
             layer["o_w"].astype(cdt), layer["o_b"].reshape(1, -1).astype(cdt),

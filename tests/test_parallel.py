@@ -188,7 +188,11 @@ def test_tp_region_grads(rng):
     )
     got = fn(x, w1, w2)
     for g_ref, g_tp in zip(ref_grads, got):
-        np.testing.assert_allclose(np.asarray(g_tp), np.asarray(g_ref), atol=1e-5)
+        # psum reduction order across the 8 virtual devices is not
+        # deterministic on the CPU backend; tolerate f32 reassociation.
+        np.testing.assert_allclose(
+            np.asarray(g_tp), np.asarray(g_ref), rtol=2e-5, atol=1e-4
+        )
 
 
 def test_shardmap_tp_step_matches_gspmd_step(rng):
