@@ -23,7 +23,7 @@ import numpy as np
 
 REFERENCE_QPS = 1000.0 / 119.9  # reference end-to-end serve latency
 CATALOG_SIZE = 50_000
-N_QUERIES = 4096
+N_QUERIES = 8192
 SERVE_BATCH = 256
 CATALOG_BATCH = 1024  # product texts are short; large batches amortize RTT
 TOP_K = 10
