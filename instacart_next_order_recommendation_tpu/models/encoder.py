@@ -249,12 +249,13 @@ def encode(
     else:
         layer_keys = None
 
-    # Inference fast path: whole-layer fused Pallas kernel (ops/fused_layer.py)
-    # — packed [B, S, hidden] activations, no per-head HBM tensors. Measured
-    # ~3x the unfused tower forward on v5e at MiniLM shapes.
+    # Fused whole-layer Pallas kernel (ops/fused_layer.py) — packed
+    # [B, S, hidden] activations, no per-head HBM tensors; ~3x the unfused
+    # tower forward on v5e at MiniLM shapes. Inference runs the raw kernel;
+    # training runs it under a custom_vjp whose backward recomputes through a
+    # jnp oracle with the SAME dropout masks (flash-style recompute).
     use_fused = (
-        dropout_key is None
-        and model_axis is None
+        model_axis is None
         and _fused_layer_enabled()
         and fused_layer_supports(config.hidden_size, config.num_heads, s)
     )
@@ -267,15 +268,26 @@ def encode(
             layer, key = scanned
         if use_fused:
             from instacart_next_order_recommendation_tpu.ops import fused_encoder_layer
+            from instacart_next_order_recommendation_tpu.ops.fused_layer import (
+                fused_encoder_layer_train,
+            )
 
-            out = fused_encoder_layer(
-                carry,
-                attention_mask,
-                layer,
+            kwargs = dict(
                 num_heads=config.num_heads,
                 scale=1.0 / (config.head_dim**0.5),
                 eps=config.layer_norm_eps,
             )
+            if key is None:
+                out = fused_encoder_layer(carry, attention_mask, layer, **kwargs)
+            else:
+                out = fused_encoder_layer_train(
+                    carry,
+                    attention_mask,
+                    layer,
+                    dropout_key=key,
+                    dropout_rate=config.hidden_dropout,
+                    **kwargs,
+                )
             return out, None
         return _encoder_layer(carry, layer, attention_mask, config, key, model_axis), None
 

@@ -421,3 +421,79 @@ class TestFusedEncoderLayer:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
         hlo = fn.lower(*sharded).compile().as_text()
         assert "all-gather" not in hlo and "all-reduce" not in hlo
+
+    def test_train_layer_grads_match_unfused(self, rng):
+        """fused_encoder_layer_train (custom_vjp + recompute oracle) produces
+        the same outputs and gradients as the unfused layer with the same
+        dropout key (identical bernoulli draws)."""
+        import dataclasses
+        import jax.numpy as jnp
+
+        from instacart_next_order_recommendation_tpu.models.encoder import (
+            MINILM_L6,
+            _encoder_layer,
+        )
+        from instacart_next_order_recommendation_tpu.ops.fused_layer import (
+            fused_encoder_layer_train,
+        )
+
+        hidden, inter, seq, batch, heads = 128, 256, 128, 2, 4
+        layer = self._layer_params(rng, hidden, inter)
+        config = dataclasses.replace(
+            MINILM_L6, hidden_size=hidden, num_heads=heads, intermediate_size=inter
+        )
+        x = jnp.asarray(0.3 * rng.standard_normal((batch, seq, hidden)), jnp.float32)
+        mask = jnp.asarray(
+            (np.arange(seq)[None, :] < 100).astype(np.float32).repeat(batch, 0)
+        )
+        key = jax.random.key(7)
+        kwargs = dict(
+            dropout_key=key,
+            dropout_rate=config.hidden_dropout,
+            num_heads=heads,
+            scale=1.0 / (config.head_dim**0.5),
+            eps=config.layer_norm_eps,
+        )
+
+        def loss_fused(x, layer):
+            return jnp.sum(fused_encoder_layer_train(x, mask, layer, **kwargs) ** 2)
+
+        def loss_ref(x, layer):
+            return jnp.sum(_encoder_layer(x, layer, mask, config, key) ** 2)
+
+        out_f = fused_encoder_layer_train(x, mask, layer, **kwargs)
+        out_r = _encoder_layer(x, layer, mask, config, key)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=2e-3)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(x, layer)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x, layer)
+        np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]), atol=5e-3)
+        for name in ("q_w", "o_w", "ffn_w1", "ffn_w2", "attn_ln_scale", "ffn_b2"):
+            np.testing.assert_allclose(
+                np.asarray(gf[1][name]), np.asarray(gr[1][name]),
+                atol=5e-3, rtol=1e-3,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_train_layer_no_dropout_rate_zero(self, rng):
+        """rate=0 still differentiates (ones masks through the custom_vjp)."""
+        import jax.numpy as jnp
+
+        from instacart_next_order_recommendation_tpu.ops.fused_layer import (
+            fused_encoder_layer_train,
+        )
+
+        hidden, inter, seq, batch, heads = 128, 256, 128, 1, 4
+        layer = self._layer_params(rng, hidden, inter)
+        x = jnp.asarray(0.3 * rng.standard_normal((batch, seq, hidden)), jnp.float32)
+        mask = jnp.ones((batch, seq), jnp.float32)
+
+        def loss(x):
+            out = fused_encoder_layer_train(
+                x, mask, layer, dropout_key=jax.random.key(0), dropout_rate=0.0,
+                num_heads=heads, scale=0.176, eps=1e-12,
+            )
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(x)
+        assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
