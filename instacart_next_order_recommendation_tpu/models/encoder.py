@@ -231,6 +231,12 @@ def encode(
     """
     cdt = jnp.dtype(config.compute_dtype)
     b, s = input_ids.shape
+    if s > config.max_position:
+        # XLA clamps out-of-bounds gathers silently; fail loudly instead of
+        # encoding every position past the table with its last row.
+        raise ValueError(
+            f"sequence length {s} exceeds the position table ({config.max_position})"
+        )
 
     emb = params["embeddings"]
     x = (

@@ -180,6 +180,21 @@ class TwoTowerTrainer:
         name = self.cfg.model_name
         preset = _PRESETS.get(name)
         key = jax.random.key(self.cfg.seed)
+
+        def _bounded_seq_len(tower_max_position: int) -> int:
+            # max_seq_length cannot exceed the position-embedding table:
+            # XLA clamps out-of-bounds gathers silently, which would encode
+            # every position past the table with the last row. Matches
+            # sentence-transformers, which bounds max_seq_length by the
+            # model's max position.
+            if self.cfg.max_seq_length > tower_max_position:
+                logger.warning(
+                    "max_seq_length %d exceeds the tower's max_position %d; clamping",
+                    self.cfg.max_seq_length,
+                    tower_max_position,
+                )
+                return tower_max_position
+            return self.cfg.max_seq_length
         if preset is not None:
             tokenizer = WordPieceTokenizer.train(
                 corpus_texts_for_vocab, vocab_size=self.cfg.vocab_size
@@ -189,7 +204,7 @@ class TwoTowerTrainer:
             config = dataclasses.replace(
                 preset,
                 vocab_size=tokenizer.vocab_size,
-                max_seq_length=self.cfg.max_seq_length,
+                max_seq_length=_bounded_seq_len(preset.max_position),
                 remat=self.cfg.remat,
             )
             params = init_params(config, key)
@@ -203,7 +218,9 @@ class TwoTowerTrainer:
             import dataclasses
 
             config = dataclasses.replace(
-                config, max_seq_length=self.cfg.max_seq_length, remat=self.cfg.remat
+                config,
+                max_seq_length=_bounded_seq_len(config.max_position),
+                remat=self.cfg.remat,
             )
             logger.info("[2/5] warm start from %s", name)
         return params, config, tokenizer

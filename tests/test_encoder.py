@@ -175,3 +175,12 @@ def test_hf_loader_handles_prefixes(tmp_path, rng, prefix):
     assert cfg.hidden_size == 16
     assert params["embeddings"]["word"].shape == (50, 16)
     assert params["layers"]["ffn_w1"].shape == (1, 16, 32)
+
+
+def test_seq_beyond_position_table_raises(tiny_params, rng):
+    """XLA clamps OOB gathers silently; encode must fail loudly instead."""
+    s = TINY.max_position + 16
+    ids = jnp.asarray(rng.integers(4, TINY.vocab_size, size=(2, s)), jnp.int32)
+    mask = jnp.ones((2, s), jnp.int32)
+    with pytest.raises(ValueError, match="position table"):
+        encode(tiny_params, ids, mask, TINY)

@@ -497,3 +497,73 @@ class TestFusedEncoderLayer:
 
         g = jax.grad(loss)(x)
         assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+    def test_train_layer_partitioned_dropout(self, rng):
+        """Multi-device train path under jit-GSPMD: the dropout-variant
+        Shardy rule and (x, bias, *weights, m1, m2) argument order must give
+        oracle-identical outputs and gradients with batch-sharded inputs,
+        and the forward must compile collective-free."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        hidden, inter, seq, batch, heads = 128, 256, 128, 16, 4
+        layer = self._layer_params(rng, hidden, inter)
+        x = jnp.asarray(0.3 * rng.standard_normal((batch, seq, hidden)), jnp.float32)
+        mask = jnp.asarray(
+            (np.arange(seq)[None, :] < 100).astype(np.float32).repeat(batch, 0)
+        )
+        key = jax.random.key(3)
+        rate, keep = 0.1, 0.9
+        kwargs = dict(
+            dropout_key=key, dropout_rate=rate, num_heads=heads,
+            scale=0.176, eps=1e-12,
+        )
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+        fwd = jax.jit(
+            lambda x_, l: fused_layer.fused_encoder_layer_train(x_, mask, l, **kwargs)
+        )
+        out = fwd(xs, layer)
+        assert out.sharding.spec == P("data")
+        hlo = fwd.lower(xs, layer).compile().as_text()
+        assert "all-gather" not in hlo and "all-reduce" not in hlo
+
+        # Oracle with the identical bernoulli draws (same key-split contract
+        # as fused_encoder_layer_train).
+        k1, k2 = jax.random.split(key)
+        inv = jnp.asarray(1.0 / keep, x.dtype)
+        m1 = jnp.where(jax.random.bernoulli(k1, keep, x.shape), inv, 0).astype(x.dtype)
+        m2 = jnp.where(jax.random.bernoulli(k2, keep, x.shape), inv, 0).astype(x.dtype)
+        bias, weights = fused_layer._prep_inputs(x, mask, layer, x.dtype)
+        ref = fused_layer._oracle(
+            x, bias, m1, m2, *weights, num_heads=heads, scale=0.176, eps=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+        def loss(x_, l):
+            return jnp.sum(
+                fused_layer.fused_encoder_layer_train(x_, mask, l, **kwargs) ** 2
+            )
+
+        def loss_ref(x_, l):
+            b_, w_ = fused_layer._prep_inputs(x_, mask, l, x_.dtype)
+            return jnp.sum(
+                fused_layer._oracle(
+                    x_, b_, m1, m2, *w_, num_heads=heads, scale=0.176, eps=1e-12
+                )
+                ** 2
+            )
+
+        gf = jax.jit(jax.grad(loss, argnums=(0, 1)))(xs, layer)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x, layer)
+        np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]), atol=5e-3)
+        for name in ("q_w", "o_w", "ffn_w1", "attn_ln_scale"):
+            np.testing.assert_allclose(
+                np.asarray(gf[1][name]), np.asarray(gr[1][name]),
+                atol=5e-3, rtol=1e-3, err_msg=f"grad mismatch for {name}",
+            )

@@ -229,3 +229,27 @@ def test_warm_start_from_own_checkpoint(tmp_path, monkeypatch):
         )
     ).train()
     assert (tmp_path / "m2" / "final" / "params.msgpack").exists()
+
+
+def test_max_seq_length_clamped_to_position_table(tmp_path, monkeypatch):
+    """A train config asking for more sequence than the tower's position
+    table must clamp (not silently gather out of bounds on device)."""
+    import dataclasses
+
+    import instacart_next_order_recommendation_tpu.train.trainer as tm
+
+    tiny = dataclasses.replace(
+        tm.MINILM_L6,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=4,
+        intermediate_size=64,
+        max_position=16,
+        compute_dtype="float32",
+    )
+    monkeypatch.setitem(tm._PRESETS, "minilm-l6", tiny)
+    trainer = tm.TwoTowerTrainer(
+        tm.TrainConfig({"output_dir": str(tmp_path), "max_seq_length": 256})
+    )
+    _, config, _ = trainer._build_model(["Product: Organic Milk. Aisle: milk."])
+    assert config.max_seq_length == 16
