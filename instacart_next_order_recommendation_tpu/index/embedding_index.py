@@ -82,7 +82,13 @@ class EmbeddingIndex:
             "corpus_mtime": mtime,
             "n_products": len(product_ids),
         }
-        (self._dir / MANIFEST_FILENAME).write_text(json.dumps(manifest, indent=2))
+        # Data first, manifest last (atomically): the manifest is the cache
+        # validity key, so it must never exist without the embeddings it
+        # vouches for — a crash mid-save would otherwise leave a manifest
+        # that validates stale embeddings from a previous corpus revision.
         np.save(self._dir / EMBEDDINGS_FILENAME, embeddings.astype(np.float32))
         (self._dir / PRODUCT_IDS_FILENAME).write_text(json.dumps(product_ids))
+        tmp = self._dir / (MANIFEST_FILENAME + ".tmp")
+        tmp.write_text(json.dumps(manifest, indent=2))
+        tmp.replace(self._dir / MANIFEST_FILENAME)
         logger.info("Saved embedding index to %s (%d products)", self._dir, len(product_ids))

@@ -102,12 +102,18 @@ class TextEncoder:
         self,
         texts: Sequence[str],
         pad_batch_to: int | None = None,
+        keep_padding: bool = False,
     ) -> jax.Array:
         """Encode one batch, returning the device array WITHOUT host sync.
 
         Dispatch is async: callers can pipeline tokenization/upload of the
         next batch against device compute and defer the host transfer (each
         host<->device round trip costs real latency on tunneled setups).
+
+        ``keep_padding=True`` returns all ``pad_batch_to`` rows (pad rows are
+        garbage at the tail) so a downstream consumer keeps the bucketed
+        batch shape — slicing to ``len(texts)`` would hand it a raw-sized
+        array that compiles a fresh program per distinct size.
         """
         if self._batch_sharding is not None:
             dp = self._batch_sharding.mesh.shape["data"]
@@ -120,7 +126,7 @@ class TextEncoder:
         if self._batch_sharding is not None:
             ids_d = jax.device_put(ids_d, self._batch_sharding)
         emb = self._run_encode(ids_d)
-        return emb[: len(texts)]
+        return emb if keep_padding else emb[: len(texts)]
 
     def encode(
         self,

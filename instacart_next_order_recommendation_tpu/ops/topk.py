@@ -145,7 +145,10 @@ def cosine_topk_pallas(
     n_padded = n_blocks * block_n
     if n_padded != n:
         catalog = jnp.pad(catalog, ((0, n_padded - n), (0, 0)))
-    k_local = min(k, block_n)
+    # k <= block_n here (the k > block_n case returned via the dense fallback
+    # above); the merge's exactness relies on each block surfacing a full
+    # top-k, i.e. candidate width n_blocks * k.
+    k_local = k
 
     # Hardware-tile padding: queries to 8 sublanes, output width to 128 lanes.
     b_pad = -(-b // 8) * 8

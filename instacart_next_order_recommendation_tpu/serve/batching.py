@@ -25,17 +25,26 @@ from typing import Optional
 
 import numpy as np
 
+from instacart_next_order_recommendation_tpu.serve.precompile import (
+    BATCH_BUCKETS,
+    K_BUCKETS,
+)
 from instacart_next_order_recommendation_tpu.serve.recommender import (
     RecommendationMetrics,
 )
 
 logger = logging.getLogger(__name__)
 
-_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+# Leader wait bound for followers: must exceed a cold-start XLA compile
+# (tens of seconds to minutes through a remote compiler), or every follower
+# in the first window errors out while the leader is legitimately compiling.
+_FOLLOWER_TIMEOUT_S = 300.0
 
 
 def _bucket(n: int) -> int:
-    for b in _BATCH_BUCKETS:
+    # Shared lattice with serve/precompile so startup warming covers every
+    # shape this module can dispatch.
+    for b in BATCH_BUCKETS:
         if b >= n:
             return b
     return n
@@ -71,6 +80,15 @@ class MicroBatcher:
         self._passthrough = not all(
             hasattr(recommender, a) for a in ("encoder", "index", "_take_top")
         )
+        try:
+            import inspect
+
+            params = inspect.signature(recommender.recommend).parameters
+            self._accepts_user_id = "user_id" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+            )
+        except (TypeError, ValueError):
+            self._accepts_user_id = True  # mocks/builtins: accept anything
 
     # Delegate everything the routes touch (pid_to_text, corpus_path, ...).
     def __getattr__(self, name):
@@ -89,19 +107,27 @@ class MicroBatcher:
         filter_aisles: list[str] | None = None,
         filter_departments: list[str] | None = None,
     ) -> list[tuple[str, float]]:
-        if self._passthrough:
-            return self._rec.recommend(
-                query, top_k=top_k, exclude_product_ids=exclude_product_ids
-            )
-        if filter_aisles or filter_departments:
-            # Per-request candidate masks are not batchable; direct path.
-            return self._rec.recommend(
-                query,
-                top_k=top_k,
-                exclude_product_ids=exclude_product_ids,
-                filter_aisles=filter_aisles,
-                filter_departments=filter_departments,
-            )
+        if self._passthrough or filter_aisles or filter_departments:
+            # Per-request candidate masks are not batchable, and test
+            # doubles without the batched internals handle their own
+            # recommend(); both take the direct path with every argument
+            # forwarded (filters always — silently dropping them would
+            # return unfiltered results; user_id only when the wrapped
+            # signature takes it, since plain Recommender does not). The
+            # wrapped recommender sets its own last_metrics; mirror it into
+            # this thread's slot so the route (which reads the MicroBatcher
+            # property — properties win over __getattr__ delegation) sees
+            # this request's metrics, not a stale batch's.
+            kwargs = dict(top_k=top_k, exclude_product_ids=exclude_product_ids)
+            if filter_aisles or filter_departments:
+                kwargs.update(
+                    filter_aisles=filter_aisles, filter_departments=filter_departments
+                )
+            if self._accepts_user_id:
+                kwargs["user_id"] = user_id
+            results = self._rec.recommend(query, **kwargs)
+            self._tls.last_metrics = getattr(self._rec, "last_metrics", None)
+            return results
 
         start = time.time()
         excluded = exclude_product_ids or set()
@@ -121,7 +147,7 @@ class MicroBatcher:
                 drained, self._pending = self._pending, []
             for lo in range(0, len(drained), self._max_batch):
                 self._process(drained[lo : lo + self._max_batch])
-        elif not slot.event.wait(timeout=30.0 + self._window_s):
+        elif not slot.event.wait(timeout=_FOLLOWER_TIMEOUT_S + self._window_s):
             raise TimeoutError("micro-batch leader did not complete in time")
 
         if slot.error is not None:
@@ -145,15 +171,22 @@ class MicroBatcher:
         try:
             queries = [s.query for s in batch]
             fetch_k = max(s.fetch_k for s in batch)
-            k_bucket = next((b for b in (16, 32, 64, 128, 256) if b >= fetch_k), fetch_k)
+            k_bucket = next((b for b in K_BUCKETS if b >= fetch_k), fetch_k)
             k_bucket = min(k_bucket, len(self._rec.product_ids))
             pad_rows = _bucket(len(queries))
 
             t0 = time.time()
-            emb = self._rec.encoder.encode_device(queries, pad_batch_to=pad_rows)
+            # keep_padding: top-k must see the bucketed batch shape, or every
+            # distinct concurrency level compiles its own full-catalog
+            # program (pad rows ride along and their results are ignored).
+            # The embedding stays on device — np.asarray here would force a
+            # host sync + re-upload per dispatch.
+            emb = self._rec.encoder.encode_device(
+                queries, pad_batch_to=pad_rows, keep_padding=True
+            )
             encode_ms = (time.time() - t0) * 1000
             t1 = time.time()
-            scores, indices = self._rec.index.topk(np.asarray(emb), k_bucket)
+            scores, indices = self._rec.index.topk(emb, k_bucket)
             sim_ms = (time.time() - t1) * 1000
             if len(batch) > 1:
                 logger.info(

@@ -75,8 +75,17 @@ class FusedServePipeline:
         args = (self.params, jnp.asarray(ids.astype(self.wire_dtype)), self.catalog)
         if self._aot is not None:
             c = self.config
+            # The key must pin everything that changes the compiled program
+            # or its argument shapes: tower architecture (vocab sizes the
+            # embedding table; heads/intermediate change the graph), the
+            # baked-in pad_id, wire dtype, and the catalog/batch shapes. A
+            # collision would deserialize an executable whose arg shapes
+            # don't match (runtime crash) or, worse for pad_id, run silently
+            # with wrong attention masks.
             key = (
-                f"fused_{c.num_layers}x{c.hidden_size}_k{k}"
+                f"fused_{c.num_layers}x{c.hidden_size}h{c.num_heads}"
+                f"i{c.intermediate_size}v{c.vocab_size}_p{self.pad_id}"
+                f"_{np.dtype(self.wire_dtype).name}_k{k}"
                 f"_b{ids.shape[0]}_s{ids.shape[1]}"
                 f"_n{self.catalog.shape[0]}_{self.catalog.dtype}"
             )

@@ -27,9 +27,11 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-# The shape lattice the serve path can hit: request top-k rounds up to these
-# buckets (recommender._rank) and micro-batches round up to these batch rows
-# (serve/batching._BATCH_BUCKETS).
+# The shape lattice the serve path can hit — the SINGLE source of truth:
+# request top-k rounds up to K_BUCKETS (recommender._k_bucket, also used by
+# the micro-batcher) and micro-batches round up to BATCH_BUCKETS rows
+# (serve/batching imports both from here, so startup warming always covers
+# every shape the serve path can dispatch).
 K_BUCKETS = (16, 32, 64, 128, 256)
 BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 

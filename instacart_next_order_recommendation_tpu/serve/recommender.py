@@ -205,13 +205,20 @@ class Recommender:
 
     # ------------------------------------------------------------------ query
 
+    def _k_bucket(self, fetch_k: int) -> int:
+        """Round k up to the serve lattice (precompile.K_BUCKETS) so each
+        distinct top_k + |excluded| doesn't compile a fresh program — callers
+        slice back to fetch_k. Unbucketed k would let clients trigger a
+        compile per request shape (seconds each on remote-compile setups)."""
+        from instacart_next_order_recommendation_tpu.serve.precompile import K_BUCKETS
+
+        k_bucket = next((b for b in K_BUCKETS if b >= fetch_k), fetch_k)
+        return min(k_bucket, len(self.product_ids))
+
     def _rank(
         self, query: str, fetch_k: int, candidate_mask: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        # Round k up to a small bucket so each distinct request shape doesn't
-        # recompile the fused program; slice back after.
-        k_bucket = next((b for b in (16, 32, 64, 128, 256) if b >= fetch_k), fetch_k)
-        k_bucket = min(k_bucket, len(self.product_ids))
+        k_bucket = self._k_bucket(fetch_k)
         if self._fused is not None and candidate_mask is None:
             ids, mask = self.encoder.tokenizer.encode_batch(
                 [query], max_seq_length=self.encoder.max_seq_length
@@ -288,7 +295,10 @@ class MonitoredRecommender(Recommender):
         fetch_k = min(top_k + len(excluded), len(self.product_ids))
         mask = self._category_mask(filter_aisles, filter_departments)
         sim_start = time.time()
-        scores, indices = self.index.topk(query_emb, fetch_k, candidate_mask=mask)
+        scores, indices = self.index.topk(
+            query_emb, self._k_bucket(fetch_k), candidate_mask=mask
+        )
+        scores, indices = scores[:, :fetch_k], indices[:, :fetch_k]
         sim_ms = (time.time() - sim_start) * 1000
 
         results = self._take_top(scores[0], indices[0], top_k, excluded)

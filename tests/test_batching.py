@@ -159,3 +159,87 @@ def test_app_wraps_when_env_set(tmp_path, monkeypatch):
         r = c.post("/recommend", json={"user_context": "x", "top_k": 2})
         assert r.status_code == 200
         assert len(r.json()["recommendations"]) == 2
+
+
+class _ShapeSpy:
+    """Index facade recording the (batch, k) shapes topk is called with."""
+
+    def __init__(self, index):
+        self._index = index
+        self.calls = []
+
+    def topk(self, queries, k, candidate_mask=None):
+        self.calls.append((np.asarray(queries).shape[0], k))
+        return self._index.topk(queries, k, candidate_mask=candidate_mask)
+
+    def __getattr__(self, name):
+        return getattr(self._index, name)
+
+
+def test_batched_dispatch_uses_bucketed_shapes(rec):
+    """The coalesced top-k must run at the PADDED batch bucket and a k from
+    the serve lattice — raw sizes would compile one program per concurrency
+    level / per distinct top_k+|excluded|."""
+    spy = _ShapeSpy(rec.index)
+    batcher = MicroBatcher(rec, window_ms=60.0)
+    batcher._rec = _RecView(rec, spy)
+
+    def worker(i):
+        batcher.recommend(f"organic milk {i}", top_k=3)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+        time.sleep(0.002)
+    for t in threads:
+        t.join()
+
+    from instacart_next_order_recommendation_tpu.serve.precompile import (
+        BATCH_BUCKETS,
+        K_BUCKETS,
+    )
+
+    assert spy.calls, "no batched dispatch happened"
+    for b, k in spy.calls:
+        assert b in BATCH_BUCKETS, f"unbucketed batch size {b}"
+        assert k in K_BUCKETS, f"unbucketed k {k}"
+
+
+def test_direct_path_metrics_not_stale(tmp_path):
+    """Filtered requests bypass batching; last_metrics must reflect THAT
+    request (the property shadows __getattr__ delegation, so the wrapped
+    recommender's metrics have to be mirrored into thread-local state)."""
+    from instacart_next_order_recommendation_tpu.serve import MonitoredRecommender
+
+    corpus = make_corpus(40)
+    model_dir = make_tiny_model_dir(tmp_path, corpus)
+    corpus_path = write_corpus_json(tmp_path, corpus)
+    mon = MonitoredRecommender(model_dir=model_dir, corpus_path=corpus_path)
+    batcher = MicroBatcher(mon, window_ms=1.0)
+
+    batcher.recommend("organic milk", top_k=5)
+    assert batcher.last_metrics.num_recommendations == 5
+
+    batcher.recommend("milk", top_k=2, user_id="u7", filter_aisles=["a1"])
+    m = batcher.last_metrics
+    assert m is not None and m.user_id == "u7"
+    assert m.num_recommendations <= 2
+
+
+def test_monitored_recommender_buckets_k(tmp_path):
+    """MonitoredRecommender must fetch a lattice k (top_k=10 -> 16), not the
+    raw top_k+|excluded| — unbucketed k compiles per request shape."""
+    from instacart_next_order_recommendation_tpu.serve import MonitoredRecommender
+
+    corpus = make_corpus(40)
+    model_dir = make_tiny_model_dir(tmp_path, corpus)
+    corpus_path = write_corpus_json(tmp_path, corpus)
+    mon = MonitoredRecommender(model_dir=model_dir, corpus_path=corpus_path)
+    spy = _ShapeSpy(mon.index)
+    mon.index = spy
+
+    out = mon.recommend("organic milk", top_k=10, exclude_product_ids={"1", "2"})
+    assert len(out) == 10
+    assert all(pid not in {"1", "2"} for pid, _ in out)
+    (b, k), = spy.calls
+    assert k == 16  # 12 -> next K_BUCKETS entry
