@@ -36,6 +36,8 @@ class RetrievalEvaluator:
         top_k: int = 100,
         name: str = "order-recommendation",
     ):
+        if not queries or not corpus:
+            raise ValueError("RetrievalEvaluator needs at least one query and document")
         self.query_ids = list(queries.keys())
         self.query_texts = [queries[q] for q in self.query_ids]
         self.corpus_ids = list(corpus.keys())

@@ -154,7 +154,9 @@ def compute_ir_metrics_from_arrays(
     mrr10 = float(np.where(has_hit, 1.0 / (first_hit + 1), 0.0).mean())
 
     # NDCG@10 with reference semantics (ideal = retrieved hits front-loaded).
-    discounts = 1.0 / np.log2(np.arange(10) + 2.0)
+    # Rankings narrower than 10 (corpus < 10 docs) truncate the discount row
+    # to the actual width; rel[:, :10] already slices to at most that width.
+    discounts = 1.0 / np.log2(np.arange(min(10, rel.shape[1])) + 2.0)
     dcg = (rel[:, :10] * discounts).sum(axis=1)
     n_hits10 = rel[:, :10].sum(axis=1).astype(np.int64)
     idcg_cum = np.concatenate([[0.0], np.cumsum(discounts)])

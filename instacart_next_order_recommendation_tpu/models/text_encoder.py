@@ -207,6 +207,13 @@ class TextEncoder:
         result only where a host copy is genuinely needed (disk cache).
         """
         n = len(texts)
+        if n == 0:
+            return jnp.zeros((0, self.config.hidden_size), jnp.float32)
+        if self._batch_sharding is not None:
+            # Bucketed rows must divide the data axis (encode_device applies
+            # the same rounding) or the device_put below rejects the shard.
+            dp = self._batch_sharding.mesh.shape["data"]
+            batch_size = -(-batch_size // dp) * dp
         if sort_by_length and n > batch_size:
             order = np.argsort([len(t) for t in texts], kind="stable")
         else:

@@ -44,12 +44,20 @@ def maybe_initialize_distributed() -> None:
     """Initialize jax.distributed for multi-host pods when coordinator env is set.
 
     Single-host runs (including this repo's tests and benches) skip it.
+
+    Gate on env/client state ONLY — calling any device-touching jax API
+    (e.g. ``jax.process_count()``) here would initialize the XLA backend
+    first, after which ``jax.distributed.initialize`` always raises and
+    every host would silently train as an independent single-process run.
     """
-    if os.getenv("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception:  # pragma: no cover - depends on launch environment
-            logger.warning("jax.distributed.initialize failed; continuing single-process")
+    if not os.getenv("JAX_COORDINATOR_ADDRESS"):
+        return
+    if jax.distributed.is_initialized():
+        return  # already initialized (idempotent across trainer/evaluator)
+    try:
+        jax.distributed.initialize()
+    except Exception:  # pragma: no cover - depends on launch environment
+        logger.warning("jax.distributed.initialize failed; continuing single-process")
 
 
 def build_mesh(config: MeshConfig | None = None) -> Mesh:

@@ -223,6 +223,11 @@ class TwoTowerTrainer:
                 remat=self.cfg.remat,
             )
             logger.info("[2/5] warm start from %s", name)
+        # Propagate the clamp to every downstream consumer of
+        # cfg.max_seq_length (tokenization, bucket choice, TextEncoder,
+        # eval-loss batches) — clamping only the tower config would let a
+        # longer-than-table sequence reach encode() and raise.
+        self.cfg.max_seq_length = config.max_seq_length
         return params, config, tokenizer
 
     # ------------------------------------------------------------------ optimizer
@@ -379,6 +384,12 @@ class TwoTowerTrainer:
 
     # ------------------------------------------------------------------ checkpoints
 
+    def _sorted_checkpoints(self) -> list:
+        return sorted(
+            self.cfg.output_dir.glob("checkpoint-epoch*"),
+            key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
+        )
+
     def _save_epoch_checkpoint(self, epoch, params, opt_state, tower_cfg, tokenizer, history):
         ckpt_dir = self.cfg.output_dir / f"checkpoint-epoch{epoch}"
         save_tower(ckpt_dir, params, tower_cfg, tokenizer)
@@ -387,20 +398,23 @@ class TwoTowerTrainer:
         (ckpt_dir / "train_state.json").write_text(
             json.dumps({"epoch": epoch, "history": history})
         )
-        # keep-N retention (reference save_total_limit=2, :236)
-        ckpts = sorted(
-            self.cfg.output_dir.glob("checkpoint-epoch*"),
-            key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
-        )
-        for old in ckpts[: -self.cfg.save_total_limit]:
-            shutil.rmtree(old, ignore_errors=True)
+        # keep-N retention (reference save_total_limit=2, :236) — but never
+        # prune the best-so-far checkpoint: the end-of-run export loads it
+        # (reference load_best_model_at_end retains it the same way), and
+        # deleting it would silently export last-epoch params as "best".
+        ckpts = self._sorted_checkpoints()
+        keep = {p.name for p in ckpts[-self.cfg.save_total_limit :]}
+        scored = [h for h in history if BEST_METRIC in h]
+        if scored:
+            best = max(scored, key=lambda h: h[BEST_METRIC])["epoch"]
+            keep.add(f"checkpoint-epoch{best}")
+        for old in ckpts:
+            if old.name not in keep:
+                shutil.rmtree(old, ignore_errors=True)
         return ckpt_dir
 
     def _find_resume_checkpoint(self):
-        ckpts = sorted(
-            self.cfg.output_dir.glob("checkpoint-epoch*"),
-            key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
-        )
+        ckpts = self._sorted_checkpoints()
         return ckpts[-1] if ckpts else None
 
     # ------------------------------------------------------------------ run
@@ -447,7 +461,14 @@ class TwoTowerTrainer:
 
         global_batch = cfg.train_batch_size * self.dp
         n_steps_epoch = steps_per_epoch(len(anchors), global_batch)
-        total_steps = cfg.epochs * n_steps_epoch * cfg.gradient_accumulation_steps
+        # The schedule horizon counts OPTIMIZER steps: optax.MultiSteps
+        # advances the inner adamw (and its schedule) once per
+        # gradient_accumulation_steps micro-batches, so the horizon is the
+        # micro-step count divided by — not multiplied by — the accumulation
+        # factor (the reference folds accumulation into effective batch the
+        # same way, train_sbert.py:213-217).
+        accum = max(1, cfg.gradient_accumulation_steps)
+        total_steps = max(2, cfg.epochs * n_steps_epoch // accum)
         tx, schedule = self._build_optimizer(total_steps)
         (step_mode, train_step), p_shard = self._make_train_step(tower_cfg, tx)
         logger.info("  train step mode: %s", step_mode)
@@ -545,22 +566,41 @@ class TwoTowerTrainer:
                 step_key = jax.random.fold_in(base_key, global_step)
                 params, opt_state, loss = train_step(params, opt_state, batch, step_key)
                 global_step += n_scan
+                # Keep every step's loss ON DEVICE (scalars); the epoch mean
+                # below is one stacked reduction + one transfer. Pulling each
+                # loss to host would add a round trip per step, and sampling
+                # only logging steps would report a sparse, early-biased mean.
+                losses.append(loss)
                 if step % max(1, cfg.logging_steps // n_scan) == 0:
-                    loss_val = float(loss)
-                    losses.append(loss_val)
-                    lr = float(schedule(min(global_step, total_steps - 1)))
+                    lr = float(schedule(min(global_step // accum, total_steps - 1)))
                     logger.info(
                         "  epoch %d step %d loss %.4f lr %.2e",
                         epoch,
                         step * n_scan,
-                        loss_val,
+                        float(loss),
                         lr,
                     )
                 step += 1
 
+            if profiling:  # epoch ended before the stop-step was reached
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                profiling = False
+
+            if step == 0:
+                logger.warning(
+                    "epoch %d yielded NO full batches: %d pairs cannot fill a "
+                    "no-duplicates batch of %d (too few distinct anchors/"
+                    "positives). Lower train_batch_size or add data — the "
+                    "model is NOT training.",
+                    epoch,
+                    len(anchors),
+                    global_batch,
+                )
+
             entry = {
                 "epoch": epoch,
-                "train_loss": float(np.mean(losses)) if losses else None,
+                "train_loss": float(jnp.mean(jnp.stack(losses))) if losses else None,
                 "epoch_seconds": time.time() - epoch_start,
             }
             eval_loss = self._eval_loss(params, tower_cfg, tokenizer, global_batch)

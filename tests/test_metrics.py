@@ -91,3 +91,26 @@ def test_array_path_matches_dict_path(rng):
     m_arr = compute_ir_metrics_from_arrays(ranked_idx, query_ids, relevant, corpus_ids)
     for key in m_dict:
         assert m_arr[key] == pytest.approx(m_dict[key], abs=1e-12), key
+
+
+def test_array_metrics_corpus_narrower_than_ten():
+    """Rankings with fewer than 10 columns (corpus < 10 docs) must not crash
+    the array path; values must match the dict-API oracle."""
+    import numpy as np
+
+    from instacart_next_order_recommendation_tpu.eval.metrics import (
+        compute_ir_metrics,
+        compute_ir_metrics_from_arrays,
+    )
+
+    corpus_ids = [f"d{i}" for i in range(8)]
+    query_ids = ["q0", "q1"]
+    relevant = {"q0": {"d3"}, "q1": {"d0", "d7"}}
+    ranked = np.array([[3, 1, 0, 2, 4, 5, 6, 7], [1, 2, 0, 3, 4, 5, 6, 7]])
+    got = compute_ir_metrics_from_arrays(ranked, query_ids, relevant, corpus_ids)
+    rankings = {
+        q: [corpus_ids[j] for j in ranked[i]] for i, q in enumerate(query_ids)
+    }
+    want = compute_ir_metrics(rankings, relevant)
+    for key, val in want.items():
+        assert abs(got[key] - val) < 1e-9, key

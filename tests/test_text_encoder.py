@@ -103,3 +103,23 @@ def test_encode_resident_matches_host_encode(encoder):
     # single-batch path (no concat, no permute)
     out1 = np.asarray(enc.encode_resident(varied[:3], batch_size=8))
     np.testing.assert_allclose(out1, ref[:3], atol=1e-5)
+
+
+def test_encode_resident_mesh_batch_not_dp_multiple(encoder):
+    """encode_resident must round the batch bucket up to a data-axis multiple
+    (a raw batch_size like 5 on a dp mesh would fail the sharded device_put)."""
+    from instacart_next_order_recommendation_tpu.models.text_encoder import TextEncoder
+    from instacart_next_order_recommendation_tpu.parallel import MeshConfig, build_mesh
+
+    enc, texts = encoder
+    mesh = build_mesh(MeshConfig())
+    sharded = TextEncoder(enc.params, enc.config, enc.tokenizer, enc.max_seq_length, mesh=mesh)
+    ref = enc.encode(texts, batch_size=8)
+    out = np.asarray(sharded.encode_resident(texts, batch_size=5))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_encode_resident_empty(encoder):
+    enc, _ = encoder
+    out = np.asarray(enc.encode_resident([], batch_size=4))
+    assert out.shape == (0, enc.config.hidden_size)

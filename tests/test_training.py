@@ -253,3 +253,81 @@ def test_max_seq_length_clamped_to_position_table(tmp_path, monkeypatch):
     )
     _, config, _ = trainer._build_model(["Product: Organic Milk. Aisle: milk."])
     assert config.max_seq_length == 16
+
+
+def test_gradient_accumulation_trains(tmp_path, monkeypatch):
+    """gradient_accumulation_steps > 1 (optax.MultiSteps inside the jitted
+    step) must train end to end with a sane LR trajectory."""
+    import dataclasses
+
+    import instacart_next_order_recommendation_tpu.train.trainer as tm
+    from instacart_next_order_recommendation_tpu.data import InstacartDataPrep
+    from instacart_next_order_recommendation_tpu.data.synthetic import (
+        generate_instacart_csvs,
+    )
+
+    tiny = dataclasses.replace(
+        tm.MINILM_L6,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=4,
+        intermediate_size=64,
+        compute_dtype="float32",
+    )
+    monkeypatch.setitem(tm._PRESETS, "minilm-l6", tiny)
+    data_dir = generate_instacart_csvs(tmp_path / "d", n_users=80, n_products=60, seed=5)
+    prep = InstacartDataPrep(data_dir=data_dir, output_dir=tmp_path / "p", eval_frac=0.2)
+    prep.prepare()
+    result = tm.TwoTowerTrainer(
+        tm.TrainConfig(
+            {
+                "processed_dir": str(prep.effective_output_dir()),
+                "output_dir": str(tmp_path / "m"),
+                "max_seq_length": 32,
+                "epochs": 2,
+                "train_batch_size": 2,
+                "data_parallel": 2,
+                "gradient_accumulation_steps": 2,
+                "vocab_size": 500,
+                "run_information_retrieval_evaluator": False,
+            }
+        )
+    ).train()
+    losses = [h["train_loss"] for h in result["history"]]
+    assert all(np.isfinite(l) for l in losses)
+    assert (tmp_path / "m" / "final" / "params.msgpack").exists()
+
+
+def test_checkpoint_retention_keeps_best(tmp_path):
+    """keep-N pruning must never delete the best-by-NDCG checkpoint — the
+    end-of-run export loads it (reference load_best_model_at_end)."""
+    import dataclasses
+
+    import jax
+
+    import instacart_next_order_recommendation_tpu.train.trainer as tm
+    from instacart_next_order_recommendation_tpu.models import init_params
+    from instacart_next_order_recommendation_tpu.tokenizer import WordPieceTokenizer
+
+    cfg = tm.TrainConfig({"output_dir": str(tmp_path), "save_total_limit": 1})
+    trainer = tm.TwoTowerTrainer(cfg)
+    tower = dataclasses.replace(
+        tm.MINILM_L6, hidden_size=32, num_layers=1, num_heads=4,
+        intermediate_size=64, vocab_size=40, max_position=32,
+    )
+    params = init_params(tower, jax.random.key(0))
+    tok = WordPieceTokenizer.train(["milk bread"], vocab_size=40, min_frequency=1)
+    import optax
+
+    opt_state = optax.adamw(1e-4).init(params)
+
+    history = []
+    ndcgs = {1: 0.9, 2: 0.2, 3: 0.1}  # best is epoch 1
+    for epoch in (1, 2, 3):
+        history.append({"epoch": epoch, tm.BEST_METRIC: ndcgs[epoch]})
+        trainer._save_epoch_checkpoint(epoch, params, opt_state, tower, tok, history)
+
+    names = {p.name for p in tmp_path.glob("checkpoint-epoch*")}
+    assert "checkpoint-epoch1" in names  # best retained
+    assert "checkpoint-epoch3" in names  # latest retained
+    assert "checkpoint-epoch2" not in names  # pruned by keep-1
