@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 import sqlite3
+import threading
 from dataclasses import dataclass
 from datetime import datetime
 from pathlib import Path
@@ -34,9 +35,32 @@ def get_db_path() -> Path:
     return Path(value) if value else DEFAULT_FEEDBACK_DB_PATH
 
 
+_initialized_paths: set[str] = set()
+_init_lock = threading.Lock()
+
+
 def init_db() -> Path:
-    """Create the feedback table and indices if missing; returns the DB path."""
+    """Create the feedback table and indices if missing; returns the DB path.
+
+    Idempotent and cached per resolved path: record_event/record_events call
+    this on every insert, and re-running seven DDL statements per feedback
+    event would dominate an ingest path whose latency histogram starts at
+    1 ms buckets. (If the DB file is deleted mid-run, restart the process —
+    or point ENV_FEEDBACK_DB_PATH at a new path — to re-run the DDL.)
+    """
     db_path = get_db_path().resolve()
+    key = str(db_path)
+    if key in _initialized_paths:
+        return db_path
+    with _init_lock:
+        if key in _initialized_paths:
+            return db_path
+        _create_schema(db_path)
+        _initialized_paths.add(key)
+    return db_path
+
+
+def _create_schema(db_path: Path) -> None:
     db_path.parent.mkdir(parents=True, exist_ok=True)
     conn = sqlite3.connect(db_path)
     try:
@@ -83,7 +107,6 @@ def init_db() -> Path:
         conn.commit()
     finally:
         conn.close()
-    return db_path
 
 
 @dataclass

@@ -132,7 +132,16 @@ class App:
                 if any(p == req.path for (_, p) in self.routes):
                     return Response(405, {"detail": "Method Not Allowed"})
                 return Response(404, {"detail": "Not Found"})
-            return handler(req)
+            # Resolve expected errors (401/400/422/...) INSIDE the terminal
+            # handler, below the middleware chain, the way FastAPI resolves
+            # HTTPException under its middleware: the request-logging
+            # middleware then sees an ordinary 4xx response — it stamps
+            # X-Request-ID on it and logs an access line instead of an
+            # ERROR-level stack trace for routine client errors.
+            try:
+                return handler(req)
+            except ApiError as exc:
+                return Response(exc.status_code, {"detail": exc.detail})
 
         chain: Handler = terminal
         for mw in reversed(self.middleware):
@@ -141,6 +150,7 @@ class App:
         try:
             return chain(request)
         except ApiError as exc:
+            # A middleware itself rejected the request (e.g. rate limit).
             return Response(exc.status_code, {"detail": exc.detail})
         except Exception:
             logger.exception("Unhandled error on %s %s", request.method, request.path)
@@ -149,7 +159,12 @@ class App:
 
 def _bind(mw: Middleware, nxt: Handler) -> Handler:
     def bound(req: Request) -> Response:
-        return mw(req, nxt)
+        try:
+            return mw(req, nxt)
+        except ApiError as exc:
+            # Convert at the raising layer so outer middleware (request
+            # logging) sees a plain status response, not an exception.
+            return Response(exc.status_code, {"detail": exc.detail})
 
     return bound
 

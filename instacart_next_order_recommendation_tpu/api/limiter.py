@@ -22,10 +22,19 @@ EXEMPT_PATHS = {"/health", "/ready", "/metrics", "/admin/corpus", "/admin/model"
 
 
 def parse_rate(rate: str) -> tuple[int, float]:
-    """Parse "100/minute" -> (100, 60.0)."""
+    """Parse "100/minute" -> (100, 60.0); malformed input falls back to the
+    default instead of failing service startup on a bad RATE_LIMIT env var."""
     count_s, _, period_s = rate.partition("/")
     period = _PERIODS.get(period_s.strip().rstrip("s"), 60.0)
-    return int(count_s.strip()), period
+    try:
+        return int(count_s.strip()), period
+    except ValueError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "Malformed rate limit %r; using 100/minute", rate
+        )
+        return 100, 60.0
 
 
 class RateLimiter:

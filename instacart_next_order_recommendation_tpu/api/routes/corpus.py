@@ -86,9 +86,14 @@ def register(app: App) -> None:
             maybe_wrap_micro_batcher,
         )
 
+        prev = app.state.get("uploaded_corpus_path")
         app.state["recommender"] = maybe_wrap_micro_batcher(recommender)
         app.state["corpus_path"] = temp_path
+        app.state["uploaded_corpus_path"] = temp_path
         app.state["ready"] = True
+        if prev is not None and Path(prev) != temp_path:
+            # Repeated hot-swaps must not leak multi-MB temp corpora.
+            Path(prev).unlink(missing_ok=True)
 
         logger.info("corpus_uploaded n_products=%d model_dir=%s", n, model_dir)
         return Response(

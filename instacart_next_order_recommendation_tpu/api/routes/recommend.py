@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 import time
 from pathlib import Path
 from uuid import uuid4
@@ -50,8 +51,16 @@ def _load_eval_queries(corpus_path: Path) -> dict[str, str]:
     return {}
 
 
+_on_demand_lock = threading.Lock()
+
+
 def _load_on_demand(app: App):
-    """Load a recommender from env/default paths when startup didn't."""
+    """Load a recommender from env/default paths when startup didn't.
+
+    Serialized: a burst of first requests must not each load the model and
+    re-encode the whole catalog concurrently (N-fold memory and latency);
+    followers wait on the lock and reuse the leader's instance.
+    """
     import os
 
     from instacart_next_order_recommendation_tpu.constants import (
@@ -61,17 +70,21 @@ def _load_on_demand(app: App):
         ENV_MODEL_DIR,
     )
 
-    factory = app.state.get("recommender_factory") or MonitoredRecommender
-    model_dir = Path(os.getenv(ENV_MODEL_DIR) or DEFAULT_MODEL_DIR)
-    corpus_path = Path(os.getenv(ENV_CORPUS_PATH) or DEFAULT_CORPUS_PATH)
-    logger.warning("Recommender not preloaded; loading on-demand")
-    try:
-        recommender = factory(model_dir=model_dir, corpus_path=corpus_path)
-    except Exception as exc:  # noqa: BLE001
-        raise ApiError(503, f"Recommender not loaded and on-demand load failed: {exc}")
-    app.state["recommender"] = recommender
-    app.state["ready"] = True
-    return recommender
+    with _on_demand_lock:
+        recommender = app.state.get("recommender")
+        if recommender is not None:  # a concurrent request already loaded it
+            return recommender
+        factory = app.state.get("recommender_factory") or MonitoredRecommender
+        model_dir = Path(os.getenv(ENV_MODEL_DIR) or DEFAULT_MODEL_DIR)
+        corpus_path = Path(os.getenv(ENV_CORPUS_PATH) or DEFAULT_CORPUS_PATH)
+        logger.warning("Recommender not preloaded; loading on-demand")
+        try:
+            recommender = factory(model_dir=model_dir, corpus_path=corpus_path)
+        except Exception as exc:  # noqa: BLE001
+            raise ApiError(503, f"Recommender not loaded and on-demand load failed: {exc}")
+        app.state["recommender"] = recommender
+        app.state["ready"] = True
+        return recommender
 
 
 def register(app: App) -> None:
@@ -181,9 +194,6 @@ def register(app: App) -> None:
                 purchase_history_used=context,
             )
             return Response(200, json.loads(response.model_dump_json()))
-        except ApiError:
-            RECOMMENDATION_REQUESTS_TOTAL.labels(status="error").inc()
-            raise
-        except Exception:
+        except Exception:  # includes ApiError
             RECOMMENDATION_REQUESTS_TOTAL.labels(status="error").inc()
             raise

@@ -107,7 +107,8 @@ class ItemItemCFBaseline:
         self.corpus_ids: list[str] = list(corpus.keys())
 
         # Product index space = corpus ids + any history-only products.
-        extra = [p for p in op["product_id"].unique() if p not in set(self.corpus_ids)]
+        corpus_set = set(self.corpus_ids)
+        extra = [p for p in op["product_id"].unique() if p not in corpus_set]
         self._pid_index = {p: i for i, p in enumerate(self.corpus_ids)}
         for p in extra:
             self._pid_index[p] = len(self._pid_index)

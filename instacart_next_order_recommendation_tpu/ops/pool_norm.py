@@ -47,9 +47,11 @@ def masked_mean_pool_l2norm_pallas(
 ) -> jax.Array:
     batch, seq, dim = hidden.shape
     block_batch = min(block_batch, batch)
-    if batch % block_batch != 0:
-        # Fall back to a single block when the batch doesn't tile evenly.
-        block_batch = batch
+    while batch % block_batch != 0:
+        # Largest divisor of batch <= the requested block: a ragged batch
+        # must not collapse to one whole-batch block, which would demand the
+        # entire [batch, seq, dim] tensor in VMEM and fail for large batches.
+        block_batch -= 1
     grid = (batch // block_batch,)
     return pl.pallas_call(
         _pool_kernel,

@@ -22,6 +22,7 @@ import argparse
 import json
 import logging
 import re
+import threading
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -275,7 +276,19 @@ class MonitoredRecommender(Recommender):
     def __init__(self, *args, metrics_logger: Optional[logging.Logger] = None, **kwargs):
         super().__init__(*args, **kwargs)
         self.metrics_logger = metrics_logger or logging.getLogger("recommender.metrics")
-        self.last_metrics: Optional[RecommendationMetrics] = None
+        # Thread-local: the API serves from a threading server, and a shared
+        # attribute would let concurrent requests read each other's stats
+        # (request A's response reporting B's latency). Each worker thread
+        # sees only the metrics of the request IT just served.
+        self._metrics_tls = threading.local()
+
+    @property
+    def last_metrics(self) -> Optional[RecommendationMetrics]:
+        return getattr(self._metrics_tls, "value", None)
+
+    @last_metrics.setter
+    def last_metrics(self, value: Optional[RecommendationMetrics]) -> None:
+        self._metrics_tls.value = value
 
     def recommend(
         self,

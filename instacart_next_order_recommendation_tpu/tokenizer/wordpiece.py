@@ -138,7 +138,12 @@ class WordPieceTokenizer:
         self.unk_id = vocab[UNK_TOKEN]
         self.cls_id = vocab[CLS_TOKEN]
         self.sep_id = vocab[SEP_TOKEN]
+        # Per-word memo, bounded: a serving process tokenizes arbitrary
+        # free-text queries, and an uncapped dict would grow RSS without
+        # limit. At the cap the memo resets (the common grocery vocabulary
+        # re-fills it almost immediately; amortized cost is negligible).
         self._cache: dict[str, list[int]] = {}
+        self._cache_max = 262_144
         self._native = None  # lazily created; False = unavailable/disabled
 
     # ------------------------------------------------------------------ vocab IO
@@ -239,7 +244,7 @@ class WordPieceTokenizer:
             return cached
         if len(word) > self.max_chars_per_word:
             out = [self.unk_id]
-            self._cache[word] = out
+            self._memoize(word, out)
             return out
         ids: list[int] = []
         start = 0
@@ -260,8 +265,13 @@ class WordPieceTokenizer:
                 break
             ids.append(cur_id)
             start = end
-        self._cache[word] = ids
+        self._memoize(word, ids)
         return ids
+
+    def _memoize(self, word: str, ids: list[int]) -> None:
+        if len(self._cache) >= self._cache_max:
+            self._cache.clear()
+        self._cache[word] = ids
 
     def encode(self, text: str, max_seq_length: int = 256) -> list[int]:
         """Token ids with [CLS]/[SEP], truncated to max_seq_length."""
