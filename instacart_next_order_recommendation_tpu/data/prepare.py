@@ -142,7 +142,10 @@ class InstacartDataPrep:
         order_id_to_context = self._build_user_context(target_orders, history_orders, order_to_names)
         logger.info("[4/7] %d order contexts", len(order_id_to_context))
 
-        anchors, positives, order_ids = self._build_pairs(order_id_to_context, product_text_map)
+        train_op = pd.read_csv(self.data_dir / ORDER_PRODUCTS_TRAIN_CSV)
+        anchors, positives, order_ids = self._build_pairs(
+            train_op, order_id_to_context, product_text_map
+        )
         logger.info("[5/7] %d pairs", len(anchors))
 
         (
@@ -173,7 +176,7 @@ class InstacartDataPrep:
         logger.info("[6/7] train: %d pairs, eval: %d pairs", len(train_anchors), len(eval_anchors))
 
         eval_queries, eval_corpus, eval_relevant_docs = self._build_eval_artifacts(
-            eval_order_ids, order_id_to_context, product_text_map
+            train_op, eval_order_ids, order_id_to_context, product_text_map
         )
 
         self._save_outputs(out_dir, train_dataset, eval_dataset, eval_queries, eval_corpus, eval_relevant_docs)
@@ -324,10 +327,16 @@ class InstacartDataPrep:
         return contexts
 
     def _build_pairs(
-        self, order_id_to_context: dict[int, str], product_text_map: dict[int, str]
+        self,
+        train_op: pd.DataFrame,
+        order_id_to_context: dict[int, str],
+        product_text_map: dict[int, str],
     ) -> tuple[list[str], list[str], list[int]]:
-        """(anchor, positive, order_id) triples from order_products__train rows."""
-        train_op = pd.read_csv(self.data_dir / ORDER_PRODUCTS_TRAIN_CSV)
+        """(anchor, positive, order_id) triples from order_products__train rows.
+
+        ``train_op`` is the already-parsed order_products__train frame —
+        prepare() reads the ~1.4M-row CSV once and shares it with
+        _build_eval_artifacts instead of parsing it twice per run."""
         ctx = train_op["order_id"].map(order_id_to_context)
         pos = train_op["product_id"].map(product_text_map)
         keep = ctx.notna() & pos.notna()
@@ -352,6 +361,7 @@ class InstacartDataPrep:
 
     def _build_eval_artifacts(
         self,
+        train_op: pd.DataFrame,
         eval_order_ids: set[int],
         order_id_to_context: dict[int, str],
         product_text_map: dict[int, str],
@@ -370,7 +380,6 @@ class InstacartDataPrep:
             }
 
         eval_relevant_docs: dict[str, list[str]] = {str(oid): [] for oid in eval_order_ids}
-        train_op = pd.read_csv(self.data_dir / ORDER_PRODUCTS_TRAIN_CSV)
         sel = train_op[train_op["order_id"].isin(eval_order_ids)]
         for oid, pid in zip(sel["order_id"].to_numpy(), sel["product_id"].to_numpy()):
             eval_relevant_docs[str(int(oid))].append(str(int(pid)))

@@ -258,6 +258,9 @@ class IVFCatalogIndex:
         self.nprobe = min(nprobe, self.nlist)
         self.bucket_len = max(1, int(np.ceil(n / self.nlist * bucket_slack)))
         self._topk_cache: dict = {}
+        from instacart_next_order_recommendation_tpu.serve.aot import AotStore
+
+        self._aot = AotStore.from_env()
 
         embeddings = np.asarray(embeddings, np.float32)
         n_prefs = min(8, self.nlist)
@@ -330,7 +333,18 @@ class IVFCatalogIndex:
         args = [queries, self._centroids, self._buckets, self._bucket_ids]
         if candidate_mask is not None:
             args.append(jnp.asarray(np.asarray(candidate_mask, np.int32)))
-        return self._topk_cache[key](*args)
+        fn = self._topk_cache[key]
+        if self._aot is not None:
+            # Same zero-compile startup contract as the exact-scan index
+            # (index/sharded.py): ann deployments with ITOR_AOT_DIR must not
+            # invoke the compiler per top-k shape on first request.
+            aot_key = (
+                f"ivf_n{self.n_total}_d{self.dim}_l{self.nlist}_p{self.nprobe}"
+                f"_L{self.bucket_len}_k{k}_b{queries.shape[0]}"
+                f"_{self._buckets.dtype}_mask{int(candidate_mask is not None)}"
+            )
+            return self._aot.run(aot_key, fn, tuple(args))
+        return fn(*args)
 
     def topk(self, queries, k: int, candidate_mask=None) -> tuple[np.ndarray, np.ndarray]:
         s, i = self.topk_device(queries, k, candidate_mask=candidate_mask)

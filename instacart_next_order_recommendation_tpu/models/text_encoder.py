@@ -83,9 +83,16 @@ class TextEncoder:
     def _run_encode(self, ids_d):
         if self._aot is None:
             return self._jitted(self.params, ids_d)
+        # Pin everything that changes the program or its arg shapes (same
+        # contract as the fused-pipeline key, serve/pipeline.py): vocab sizes
+        # the embedding table; heads/intermediate/dtype change the graph even
+        # at identical param shapes; pad_id is baked into the mask compute.
         c = self.config
         key = (
-            f"encode_{c.num_layers}x{c.hidden_size}_b{ids_d.shape[0]}_s{ids_d.shape[1]}"
+            f"encode_{c.num_layers}x{c.hidden_size}h{c.num_heads}"
+            f"i{c.intermediate_size}v{c.vocab_size}_p{self.tokenizer.pad_id}"
+            f"_{c.compute_dtype}_{np.dtype(self.wire_dtype).name}"
+            f"_b{ids_d.shape[0]}_s{ids_d.shape[1]}"
         )
         return self._aot.run(key, self._jitted, (self.params, ids_d))
 

@@ -138,4 +138,14 @@ class AotStore:
                 self._mem[key] = fn
         if fn is None:
             return jitted(*args)
-        return fn(*args)
+        try:
+            return fn(*args)
+        except Exception:
+            # A deserialized executable whose input avals don't match the
+            # runtime args (stale/colliding store) must degrade to a compile,
+            # not 500 every request — "a mismatched artifact is a clean
+            # miss, never a wrong-machine load".
+            logger.exception("Stored executable for %s rejected its args; falling back to jit", key)
+            self._mem.pop(key, None)
+            self._miss.add(key)
+            return jitted(*args)

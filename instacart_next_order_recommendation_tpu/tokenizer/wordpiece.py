@@ -304,6 +304,13 @@ class WordPieceTokenizer:
         mappings) are re-encoded in Python; either way results match the
         pure-Python path exactly.
         """
+        if pad_batch_to is not None and pad_batch_to < len(texts):
+            # The C++ path writes len(texts) rows into buffers sized
+            # pad_batch_to — an unchecked call would be a heap overflow, and
+            # the Python path an opaque IndexError. Fail loudly instead.
+            raise ValueError(
+                f"pad_batch_to={pad_batch_to} is smaller than the batch ({len(texts)} texts)"
+            )
         native = self._get_native()
         if native is not None:
             full_len = pad_to if pad_to is not None else max_seq_length

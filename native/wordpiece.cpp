@@ -42,6 +42,10 @@ constexpr int32_t kXformEmpty = -2;   // transform output is empty
 struct Tokenizer {
   std::unordered_map<std::string, int32_t> vocab;
   std::unordered_map<std::string, std::vector<int32_t>> word_cache;
+  // Bounded memo (mirrors the Python path's cap): serving tokenizes
+  // arbitrary free text, and an uncapped cache grows RSS without limit.
+  // On overflow the memo resets; the working vocabulary re-fills it fast.
+  static constexpr size_t kWordCacheMax = 262144;
   int32_t pad_id = 0, unk_id = 1, cls_id = 2, sep_id = 3;
   int max_chars_per_word = 100;
 
@@ -100,6 +104,7 @@ struct Tokenizer {
         start = end;
       }
     }
+    if (word_cache.size() >= kWordCacheMax) word_cache.clear();
     word_cache.emplace(word, ids);
     out.insert(out.end(), ids.begin(), ids.end());
   }

@@ -107,3 +107,28 @@ def test_recommender_serve_with_aot(model_dir, tmp_path, monkeypatch):
     monkeypatch.setenv("ITOR_AOT_EXPORT", "0")
     rec_aot = Recommender(model_dir=mdir, corpus_path=corpus_path, use_index=False)
     assert rec_aot.recommend("Organic Milk", top_k=5) == ref
+
+
+def test_run_falls_back_when_stored_executable_rejects_args(tmp_path):
+    """A deserialized executable whose input avals mismatch the runtime args
+    (stale or colliding store) must degrade to the jitted callable, not raise
+    on every request."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instacart_next_order_recommendation_tpu.serve.aot import AotStore
+
+    store = AotStore(tmp_path, export=True)
+    f = jax.jit(lambda x: x * 2)
+    a = jnp.ones((4,), jnp.float32)
+    np.testing.assert_allclose(np.asarray(store.run("k", f, (a,))), 2.0)
+
+    fresh = AotStore(tmp_path)  # loads the serialized executable from disk
+    b = jnp.ones((8,), jnp.float32)  # shape the stored executable rejects
+    out = fresh.run("k", f, (b,))
+    assert out.shape == (8,)
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+    # And the miss is remembered: subsequent calls go straight to jit.
+    out2 = fresh.run("k", f, (b,))
+    assert out2.shape == (8,)

@@ -89,3 +89,15 @@ def test_special_token_ids_bert_convention(tok):
     assert tok.vocab["[UNK]"] == 1
     assert tok.vocab["[CLS]"] == 2
     assert tok.vocab["[SEP]"] == 3
+
+
+def test_pad_batch_to_smaller_than_batch_raises():
+    """pad_batch_to < len(texts) must fail loudly on BOTH paths — the C++
+    fast path would otherwise write past its output buffers."""
+    import pytest
+
+    from instacart_next_order_recommendation_tpu.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.train(["organic milk bread"], vocab_size=100, min_frequency=1)
+    with pytest.raises(ValueError, match="pad_batch_to"):
+        tok.encode_batch(["a", "b", "c"], pad_batch_to=2)
