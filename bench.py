@@ -170,7 +170,6 @@ def main() -> None:
     log(f"single-query e2e p50 latency: {p50_ms:.2f} ms")
 
     # (b) device-side latency with resident inputs (the chip's actual cost).
-    import jax.numpy as jnp
 
     ids, _ = tokenizer.encode_batch(query_texts[:1], max_seq_length=256, pad_to=256)
     ids_d = jnp.asarray(ids.astype(encoder.wire_dtype))

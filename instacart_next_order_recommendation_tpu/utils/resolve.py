@@ -47,7 +47,13 @@ def resolve_processed_dir(
         candidates = [
             d
             for d in processed_dir.iterdir()
-            if d.is_dir() and (d / TRAIN_DATASET_SUBDIR).exists()
+            if d.is_dir()
+            and (d / TRAIN_DATASET_SUBDIR).exists()
+            # Feedback-merged retrain datasets (scripts/feedback_retrain.py
+            # writes <base>_fb) are explicit retrain inputs, not prep
+            # outputs: auto-resolution must not silently hijack every
+            # default-config entry point after the first retrain.
+            and not d.name.endswith("_fb")
         ]
         if len(candidates) == 1:
             return candidates[0], f"  -> Using param subdir: {candidates[0].name}"

@@ -33,7 +33,6 @@ from instacart_next_order_recommendation_tpu.utils import (
     resolve_processed_dir,
     setup_colored_logging,
 )
-from scripts.feedback_analytics import load_events
 
 logger = logging.getLogger(__name__)
 
@@ -108,6 +107,15 @@ def build_dataset(
     processed_dir: Path, db_path: Path, since: str | None = None, output_dir: Path | None = None
 ) -> Path | None:
     """Mine feedback into a merged processed-format dataset dir (or None)."""
+    if processed_dir.name.endswith("_fb"):
+        # A previously merged feedback dataset resolved as the input (e.g. a
+        # scheduler restart after auto-resolution): merge against the ORIGINAL
+        # prep output, or every restart would re-add all historical feedback
+        # pairs on top of the already-augmented set.
+        base = processed_dir.with_name(processed_dir.name[: -len("_fb")])
+        if (base / "train_dataset").exists():
+            logger.info("using base dataset %s (input was a _fb merge)", base)
+            processed_dir = base
     corpus = json.loads((processed_dir / EVAL_CORPUS_FILENAME).read_text())
     events = extract_context_events(db_path, since=since)
     anchors, positives = build_weighted_pairs(events, corpus)
@@ -214,6 +222,7 @@ def retrain_once(
     serve_url: str | None = None,
     gate_metric: str = "ndcg_at_10",
     min_improvement: float = 0.0,
+    since: str | None = None,
 ) -> bool:
     """One scheduler tick: build the dataset (and retrain) when enough new
     feedback has accumulated since the last run. Returns True if it ran.
@@ -228,7 +237,7 @@ def retrain_once(
         logger.info("retrain skipped: %d new events (< %d)", n_new, min_new_events)
         return False
 
-    out_dir = build_dataset(processed_dir, db_path, output_dir=output_dir)
+    out_dir = build_dataset(processed_dir, db_path, since=since, output_dir=output_dir)
     if out_dir is None:
         logger.info("retrain skipped: no events with serving context")
         return False
@@ -242,6 +251,12 @@ def retrain_once(
 
         raw = load_yaml_config(train_config, train_config)
         raw["processed_dir"] = str(out_dir)
+        # Per-run output dir keyed by the event watermark: the trainer
+        # unconditionally overwrites <output_dir>/final, so training a run
+        # that then FAILS the eval gate must not clobber the checkpoint the
+        # deployed model was loaded from.
+        if "output_dir" in raw and serve_url:
+            raw["output_dir"] = str(Path(raw["output_dir"]) / f"run-{max_id}")
         cfg = TrainConfig(raw)
         trainer = TwoTowerTrainer(cfg)
         result = trainer.train()
@@ -336,17 +351,25 @@ def main() -> None:
     import time
 
     while True:
-        retrain_once(
-            processed_dir,
-            db_path,
-            args.state_file,
-            args.min_new_events,
-            args.train_config,
-            output_dir=args.output_dir,
-            serve_url=args.serve_url,
-            gate_metric=args.gate_metric,
-            min_improvement=args.min_improvement,
-        )
+        try:
+            retrain_once(
+                processed_dir,
+                db_path,
+                args.state_file,
+                args.min_new_events,
+                args.train_config,
+                output_dir=args.output_dir,
+                serve_url=args.serve_url,
+                gate_metric=args.gate_metric,
+                min_improvement=args.min_improvement,
+                since=args.since,
+            )
+        except Exception:
+            if args.once:
+                raise
+            # A transient failure (locked sqlite, full disk, OOM run) must
+            # not kill the long-running scheduler; the next tick retries.
+            logger.exception("retrain tick failed; retrying next interval")
         if args.once:
             break
         time.sleep(args.interval)

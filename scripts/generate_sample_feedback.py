@@ -156,6 +156,9 @@ def main() -> None:
                 request_id, product_ids = post_recommend_request(
                     client, base_url, cfg["api_key"], user_id, context, cfg["top_k"]
                 )
+            except httpx.RequestError as exc:
+                print(f"  request {i}: recommend transport error ({exc}); continuing")
+                continue
             except httpx.HTTPStatusError as exc:
                 print(f"  request {i}: recommend failed ({exc.response.status_code})")
                 continue
@@ -170,7 +173,11 @@ def main() -> None:
                 cfg["purchase_rate"],
                 user_context=context,
             )
-            post_feedback(client, base_url, cfg["api_key"], events)
+            try:
+                post_feedback(client, base_url, cfg["api_key"], events)
+            except httpx.HTTPError as exc:
+                print(f"  request {i}: feedback failed ({exc}); continuing")
+                continue
             total_events += len(events)
             print(f"  request {i + 1}/{cfg['num_requests']}: {len(events)} events")
 

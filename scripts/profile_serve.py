@@ -12,10 +12,14 @@ from __future__ import annotations
 
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# Allow running as `python scripts/<name>.py` from any cwd.
+_repo_root = str(Path(__file__).resolve().parents[1])
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
 from bench import build_catalog_texts, build_query_texts, CATALOG_SIZE, TOP_K
 
 

@@ -253,3 +253,53 @@ def test_retrain_auto_deploy_on_gate_pass(tmp_path, monkeypatch):
     )
     assert len(deploys) == 1  # no new deploy
     assert fr.load_scheduler_state(state_path)["deployed_metric"] == 0.4
+
+
+def test_build_dataset_uses_base_when_given_fb_dir(tmp_path, monkeypatch):
+    """A _fb input (e.g. after auto-resolution on a scheduler restart) must
+    merge against the ORIGINAL prep output, not compound feedback pairs."""
+    from datasets import Dataset, load_from_disk
+
+    from scripts.feedback_retrain import build_dataset
+
+    monkeypatch.setenv("FEEDBACK_DB_PATH", str(tmp_path / "f.db"))
+    db = init_db()
+    record_events(
+        [
+            FeedbackEventRecord(
+                "r1", "click", "1", metadata={"user_context": "[+1d w0h9] Milk."}
+            )
+        ]
+    )
+
+    base = tmp_path / "p5"
+    Dataset.from_dict({"anchor": ["a"], "positive": ["p"]}).save_to_disk(
+        str(base / "train_dataset")
+    )
+    (base / "eval_corpus.json").write_text(json.dumps({"1": "Product: Milk."}))
+
+    out1 = build_dataset(base, db)
+    assert out1 is not None and out1.name == "p5_fb"
+    n1 = len(load_from_disk(str(out1 / "train_dataset")))
+    assert n1 == 2  # 1 base + 1 feedback (click weight 1)
+
+    # Second run resolving the merged dir: must NOT stack more pairs.
+    out2 = build_dataset(out1, db)
+    n2 = len(load_from_disk(str(out2 / "train_dataset")))
+    assert out2.name == "p5_fb" and n2 == 2
+
+
+def test_resolve_skips_fb_dirs(tmp_path):
+    from datasets import Dataset
+
+    from instacart_next_order_recommendation_tpu.utils import resolve_processed_dir
+
+    base = tmp_path / "processed"
+    Dataset.from_dict({"anchor": ["a"], "positive": ["p"]}).save_to_disk(
+        str(base / "p5" / "train_dataset")
+    )
+    Dataset.from_dict({"anchor": ["a", "b"], "positive": ["p", "q"]}).save_to_disk(
+        str(base / "p5_fb" / "train_dataset")
+    )
+    resolved, _ = resolve_processed_dir(base, base)
+    assert resolved.name == "p5"
