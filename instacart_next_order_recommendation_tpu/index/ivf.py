@@ -64,27 +64,40 @@ def _kmeans(
 ) -> np.ndarray:
     """Spherical k-means: returns unit-norm centroids [nlist, D].
 
-    Single-device build: assignment chunks stream through one MXU matmul;
-    accumulation happens on host (float64).
+    Single-device build, streaming-friendly: each chunk does assignment AND
+    sum/count accumulation on device (argmax + one-hot matmul, all MXU work),
+    so the host only ever touches chunk-sized slices — ``embeddings`` can be
+    a ``np.memmap`` larger than RAM — and the per-iteration host traffic is
+    one small [nlist, D] partial per chunk, never a full-matrix pass (the
+    previous ``np.add.at`` over all rows was both a full-RAM walk and the
+    build's hot spot).
     """
     n, d = embeddings.shape
     rng = np.random.default_rng(seed)
-    centroids = embeddings[rng.choice(n, size=nlist, replace=False)].copy()
+    centroids = np.array(embeddings[np.sort(rng.choice(n, size=nlist, replace=False))])
 
     @jax.jit
-    def assign_chunk(x, c):
+    def chunk_stats(x, c):
         scores = jnp.einsum("nd,kd->nk", x, c, preferred_element_type=jnp.float32)
-        return jnp.argmax(scores, axis=1)
+        onehot = jax.nn.one_hot(jnp.argmax(scores, axis=1), c.shape[0], dtype=jnp.float32)
+        sums = jnp.einsum("nk,nd->kd", onehot, x, preferred_element_type=jnp.float32)
+        return sums, jnp.sum(onehot, axis=0)
 
+    pad = (-n) % chunk  # one static chunk shape -> one compile
     for it in range(iters):
-        assign = np.empty(n, np.int32)
-        for lo in range(0, n, chunk):
-            assign[lo : lo + chunk] = np.asarray(
-                assign_chunk(jnp.asarray(embeddings[lo : lo + chunk]), jnp.asarray(centroids))
-            )
+        c_dev = jnp.asarray(centroids)
         sums = np.zeros((nlist, d), np.float64)
-        np.add.at(sums, assign, embeddings)
-        counts = np.bincount(assign, minlength=nlist).astype(np.float64)
+        counts = np.zeros(nlist, np.float64)
+        for lo in range(0, n, chunk):
+            x = np.asarray(embeddings[lo : lo + chunk], np.float32)
+            if pad and lo + chunk > n:
+                x = np.concatenate([x, np.zeros((pad, d), np.float32)])
+            s, cts = chunk_stats(jnp.asarray(x), c_dev)
+            sums += np.asarray(s, np.float64)
+            counts += np.asarray(cts, np.float64)
+        if pad:
+            counts[0] -= pad  # zero-padding rows all argmax to index 0...
+            # ...and contribute zero to sums, so only the count needs fixing.
         centroids = _finish_centroids(sums, counts, embeddings, rng)
     return centroids
 
@@ -217,9 +230,13 @@ def _balanced_assign(pref_idx: np.ndarray, nlist: int, cap: int) -> np.ndarray:
 
 
 def _fill_buckets(
-    assign: np.ndarray, embeddings: np.ndarray, nlist: int, cap: int
+    assign: np.ndarray, embeddings: np.ndarray, nlist: int, cap: int, chunk: int = 262_144
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Scatter rows into the dense [nlist, cap] bucket tensors (vectorized)."""
+    """Scatter rows into the dense [nlist, cap] bucket tensors (vectorized).
+
+    The gather runs in chunks so a memmapped ``embeddings`` never needs a
+    full-size in-RAM temporary; the bucket tensor itself is the one full-size
+    allocation (it IS the device catalog)."""
     d = embeddings.shape[1]
     order = np.argsort(assign, kind="stable")
     sa = assign[order]
@@ -228,7 +245,9 @@ def _fill_buckets(
     slot = np.arange(len(sa)) - np.repeat(run_start, run_len)
     buckets = np.zeros((nlist, cap, d), np.float32)
     bucket_ids = np.full((nlist, cap), -1, np.int32)
-    buckets[sa, slot] = embeddings[order]
+    for lo in range(0, len(order), chunk):
+        sel = order[lo : lo + chunk]
+        buckets[sa[lo : lo + chunk], slot[lo : lo + chunk]] = embeddings[sel]
     bucket_ids[sa, slot] = order
     return buckets, bucket_ids
 

@@ -158,3 +158,33 @@ def test_balanced_assign_leftovers_land_in_free_slots():
     pref = np.zeros((4, 1), np.int32)
     assign = _balanced_assign(pref, nlist=4, cap=1)
     assert len(np.unique(assign)) == 4  # all rows placed, caps respected
+
+
+def test_memmap_build_matches_in_ram(tmp_path):
+    """A disk-memmapped embedding matrix must build an identical index to the
+    in-RAM build (the streaming k-means/bucket-fill path only changes WHERE
+    chunks are read from, not the math)."""
+    q, emb = _clustered_data(7, n=2000)
+    np.save(tmp_path / "emb.npy", emb)
+    mm = np.load(tmp_path / "emb.npy", mmap_mode="r")
+
+    ram = IVFCatalogIndex(emb, nlist=32, nprobe=8, seed=0)
+    mapped = IVFCatalogIndex(mm, nlist=32, nprobe=8, seed=0)
+    rs, ri = ram.topk(q, 10)
+    ms, mi = mapped.topk(q, 10)
+    np.testing.assert_array_equal(ri, mi)
+    np.testing.assert_allclose(rs, ms, atol=1e-6)
+
+
+def test_embedding_index_mmap_load(tmp_path):
+    from instacart_next_order_recommendation_tpu.index import EmbeddingIndex
+
+    corpus_path = tmp_path / "corpus.json"
+    corpus_path.write_text("{}")
+    idx = EmbeddingIndex(corpus_path, tmp_path / "model")
+    ids = [str(i) for i in range(64)]
+    emb = np.random.default_rng(0).standard_normal((64, 16)).astype(np.float32)
+    idx.save(ids, emb)
+    loaded = idx.load(ids, mmap=True)
+    assert isinstance(loaded, np.memmap)
+    np.testing.assert_allclose(np.asarray(loaded), emb)
