@@ -25,7 +25,11 @@ REFERENCE_QPS = 1000.0 / 119.9  # reference end-to-end serve latency
 CATALOG_SIZE = 50_000
 N_QUERIES = 8192
 SERVE_BATCH = 256
-CATALOG_BATCH = 1024  # product texts are short; large batches amortize RTT
+# Batch 256 for catalog encode too: product texts are short so larger batches
+# would amortize RTT slightly better, but batch>=512 fused-tower programs
+# compile pathologically slowly through this environment's remote compile
+# service (a cold B=1024 encode compile exceeds 16 minutes; B=256 takes ~1-2).
+CATALOG_BATCH = 256
 TOP_K = 10
 
 
@@ -95,12 +99,71 @@ def main() -> None:
     encoder = TextEncoder(params, config, tokenizer, max_seq_length=256)
     log(f"setup {time.time() - t0:.1f}s (vocab {tokenizer.vocab_size})")
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from instacart_next_order_recommendation_tpu.serve.pipeline import (
+        FusedServePipeline,
+    )
+
+    # --- parallel cold-start warm-up ------------------------------------------
+    # Compile every program the bench dispatches BEFORE any timed section.
+    # Cold compiles go through a remote compile service on this setup and each
+    # fused-tower program takes minutes; the service compiles concurrently
+    # (measured: two programs in the wall time of one), so a thread pool turns
+    # ~15 min of serial compiles into roughly the slowest single one. Every
+    # result lands in the persistent compilation cache (utils/cache.py), so on
+    # a warm machine this whole phase is a few seconds of cache hits.
+    sorted_queries = sorted(query_texts, key=len)  # see serve section below
+    serve_shapes = {(1, 256)}  # single-query latency section
+    for lo in range(0, N_QUERIES, SERVE_BATCH):
+        wids, _ = tokenizer.encode_batch(
+            sorted_queries[lo : lo + SERVE_BATCH],
+            max_seq_length=256,
+            pad_batch_to=SERVE_BATCH,
+        )
+        serve_shapes.add(wids.shape)
+    # Dummy-catalog pipeline: compiled programs depend only on shapes, and the
+    # real pipeline's identical programs resolve via the persistent cache.
+    warm_pipeline = FusedServePipeline(
+        params,
+        config,
+        jnp.zeros((CATALOG_SIZE, config.hidden_size), jnp.float32),
+        CATALOG_SIZE,
+        pad_id=tokenizer.pad_id,
+    )
+
+    def warm_fused(shape):
+        wids = np.zeros(shape, np.int16)
+        wids[:, :4] = 7  # a few non-pad tokens
+        packed, _ = warm_pipeline.topk_device(wids, None, TOP_K)
+        np.asarray(packed)
+
+    def warm_device_encode():
+        # encoder._jitted at [1, 256]: the device-side latency section.
+        wids, _ = tokenizer.encode_batch(
+            query_texts[:1], max_seq_length=256, pad_to=256
+        )
+        np.asarray(
+            encoder._jitted(encoder.params, jnp.asarray(wids.astype(encoder.wire_dtype)))
+        )
+
+    t0 = time.time()
+    with ThreadPoolExecutor(len(serve_shapes) + 2) as ex:
+        jobs = [
+            # catalog-bucket encode program (index build path)
+            ex.submit(
+                encoder.encode, catalog_texts[:CATALOG_BATCH], batch_size=CATALOG_BATCH
+            ),
+            ex.submit(warm_device_encode),
+        ]
+        jobs += [ex.submit(warm_fused, s) for s in sorted(serve_shapes)]
+        for j in jobs:
+            j.result()
+    log(f"warm-up compiles: {time.time() - t0:.1f}s ({len(jobs)} programs)")
+
     # --- catalog encode (index build) ----------------------------------------
     # Device-resident build: embeddings never cross the wire — the index
-    # consumes them on device (encode_resident). Warm the shape bucket before
-    # timing (compiles are cached persistently, so steady-state startup pays
-    # ~0.2s here).
-    encoder.encode(catalog_texts[:CATALOG_BATCH], batch_size=CATALOG_BATCH)
+    # consumes them on device (encode_resident). Shape bucket warmed above.
     t0 = time.time()
     catalog_emb = encoder.encode_resident(catalog_texts, batch_size=CATALOG_BATCH)
     np.asarray(catalog_emb[0])  # force materialization (timing fence)
@@ -111,25 +174,15 @@ def main() -> None:
     index.topk(np.asarray(catalog_emb[:SERVE_BATCH]), TOP_K)  # warm the topk jit
 
     # --- end-to-end serve throughput (pipelined) ------------------------------
-    # Warmup (compile all shape buckets).
-    warm = query_texts[:SERVE_BATCH]
-    index.topk(encoder.encode(warm, batch_size=SERVE_BATCH), TOP_K)
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    from instacart_next_order_recommendation_tpu.serve.pipeline import (
-        FusedServePipeline,
-    )
-
     fused = FusedServePipeline(
         params, config, index._catalog, CATALOG_SIZE, pad_id=tokenizer.pad_id
     )
 
-    # Length-sorted batching: group similar-length queries so each batch pads
-    # to the smallest length bucket that fits it (one long query no longer
-    # drags a whole batch to seq 256). Standard batch-serve practice; results
-    # are identical per query (padding is masked end to end).
-    sorted_queries = sorted(query_texts, key=len)
+    # Length-sorted batching (sorted_queries above): group similar-length
+    # queries so each batch pads to the smallest length bucket that fits it
+    # (one long query no longer drags a whole batch to seq 256). Standard
+    # batch-serve practice; results are identical per query (padding is
+    # masked end to end).
 
     def serve_batch(lo: int) -> np.ndarray:
         batch = sorted_queries[lo : lo + SERVE_BATCH]
@@ -139,7 +192,7 @@ def main() -> None:
         return idx[: len(batch)]
 
     for lo in range(0, N_QUERIES, SERVE_BATCH):
-        serve_batch(lo)  # warm every length-bucket program (cache-backed)
+        serve_batch(lo)  # pull every bucket program into this jit cache (hot)
 
     # Worker threads overlap host tokenization and the per-round
     # host<->device transfer latency (large on tunneled TPU setups); 8 keeps
