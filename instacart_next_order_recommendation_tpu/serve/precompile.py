@@ -41,6 +41,7 @@ def warm_serve_shapes(
     k_buckets: tuple[int, ...] = K_BUCKETS,
     batch_buckets: tuple[int, ...] = (1,),
     with_filters: bool = True,
+    jobs: int | None = None,
 ) -> int:
     """Compile every (batch, seq, k) serve program; returns the program count.
 
@@ -49,7 +50,17 @@ def warm_serve_shapes(
     shape leaves real traffic paying compiles (or missing the AOT store).
     ``batch_buckets`` beyond 1 matter only when micro-batching is enabled
     (each coalesced batch size is its own program).
+
+    The programs are independent, so they compile from a thread pool
+    (``jobs`` threads, default up to 16): both local XLA and remote compile
+    services overlap concurrent compiles, which warms a cold lattice in
+    roughly the wall time of its slowest program instead of the sum —
+    measured on a remote-compile TPU setup, 11 fused-tower programs at
+    ~2 min each compiled in ~6 min total.
     """
+    import functools
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax.numpy as jnp
 
     from instacart_next_order_recommendation_tpu.tokenizer.wordpiece import (
@@ -63,34 +74,60 @@ def warm_serve_shapes(
     max_seq = enc.max_seq_length
     seq_buckets = tuple(s for s in LENGTH_BUCKETS if s <= max_seq) or (max_seq,)
     dummy = "Product: warmup. Aisle: warmup. Department: warmup."
-    n_programs = 0
     t0 = time.time()
 
-    for b in batch_buckets:
-        emb = None
-        for s_len in seq_buckets:
-            ids, mask = enc.tokenizer.encode_batch(
-                [dummy] * b, max_seq_length=max_seq, pad_to=s_len, pad_batch_to=b
+    # k values a request can actually dispatch (request top-k rounds up to
+    # K_BUCKETS and is capped at the catalog size).
+    k_effs: list[int] = []
+    for k in k_buckets:
+        k_effs.append(min(k, n))
+        if k_effs[-1] == n:
+            break
+
+    def tokenize(b: int, s_len: int):
+        return enc.tokenizer.encode_batch(
+            [dummy] * b, max_seq_length=max_seq, pad_to=s_len, pad_batch_to=b
+        )
+
+    def encode_job(b: int, s_len: int) -> int:
+        ids, _ = tokenize(b, s_len)
+        enc._run_encode(jnp.asarray(ids.astype(enc.wire_dtype)))
+        return 1
+
+    def fused_job(s_len: int, k_eff: int) -> int:
+        ids, mask = tokenize(1, s_len)
+        recommender._fused.topk(ids, mask, k_eff)
+        return 1
+
+    def index_job(b: int, k_eff: int, with_filter: bool) -> int:
+        # The index program depends on (batch, k), not seq: encode at the
+        # smallest bucket. Concurrent same-shape encodes share one compile
+        # (jit holds a per-signature lock).
+        ids, _ = tokenize(b, seq_buckets[0])
+        emb = enc._run_encode(jnp.asarray(ids.astype(enc.wire_dtype)))
+        if with_filter:
+            recommender.index.topk(
+                np.asarray(emb), k_eff, candidate_mask=np.ones(n, np.int32)
             )
-            emb = enc._run_encode(jnp.asarray(ids.astype(enc.wire_dtype)))
-            n_programs += 1  # the encode program at this (b, s)
-            if recommender._fused is not None and b == 1:
-                for k in k_buckets:
-                    k_eff = min(k, n)
-                    recommender._fused.topk(ids, mask, k_eff)
-                    n_programs += 1
-                    if k_eff == n:
-                        break
-        for k in k_buckets:  # index top-k is seq-independent
-            k_eff = min(k, n)
+        else:
             recommender.index.topk(np.asarray(emb), k_eff)
-            n_programs += 1
+        return 1
+
+    thunks = []
+    for b in batch_buckets:
+        for s_len in seq_buckets:
+            thunks.append(functools.partial(encode_job, b, s_len))
+        for k_eff in k_effs:
+            thunks.append(functools.partial(index_job, b, k_eff, False))
             if with_filters and hasattr(recommender.index, "topk_device"):
-                mask_all = np.ones(n, np.int32)
-                recommender.index.topk(np.asarray(emb), k_eff, candidate_mask=mask_all)
-                n_programs += 1
-            if k_eff == n:
-                break
+                thunks.append(functools.partial(index_job, b, k_eff, True))
+    if recommender._fused is not None and 1 in batch_buckets:
+        for s_len in seq_buckets:
+            for k_eff in k_effs:
+                thunks.append(functools.partial(fused_job, s_len, k_eff))
+
+    with ThreadPoolExecutor(max(1, jobs or min(16, len(thunks)))) as ex:
+        n_programs = sum(f.result() for f in [ex.submit(t) for t in thunks])
     logger.info(
         "precompiled %d serve programs (%d batch x %d seq x %d k shapes) in %.1fs",
         n_programs,
