@@ -234,6 +234,19 @@ class TestRecommender:
         # every first-request shape is now cached: identical results, no error
         assert len(rec.recommend("organic milk", top_k=5)) == 5
 
+    def test_precompile_serial_matches_parallel_count(self, served):
+        # jobs=1 (serial) must warm the exact same program set as the
+        # default thread pool — the count is the contract the startup log
+        # and AOT export rely on.
+        from instacart_next_order_recommendation_tpu.serve.precompile import (
+            warm_serve_shapes,
+        )
+
+        *_, rec = served
+        serial = warm_serve_shapes(rec, k_buckets=(16,), batch_buckets=(1,), jobs=1)
+        pooled = warm_serve_shapes(rec, k_buckets=(16,), batch_buckets=(1,))
+        assert serial == pooled > 0
+
     def test_precompile_skips_test_doubles(self):
         from types import SimpleNamespace
 
