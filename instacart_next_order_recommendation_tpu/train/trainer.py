@@ -139,7 +139,16 @@ class TwoTowerTrainer:
     """Runs the full training pipeline. See module docstring."""
 
     def __init__(self, config: TrainConfig):
+        from instacart_next_order_recommendation_tpu.utils.cache import (
+            enable_compilation_cache,
+        )
+
         self.cfg = config
+        # Persist train-step/eval compiles across runs (idempotent, best
+        # effort). Until now only the serve path enabled this (TextEncoder),
+        # so a fresh training process re-paid the full cold compile — minutes
+        # per program through a remote compile service.
+        enable_compilation_cache()
         maybe_initialize_distributed()
         self.mesh = build_mesh(
             MeshConfig(data_parallel=config.data_parallel, model_parallel=config.model_parallel)
