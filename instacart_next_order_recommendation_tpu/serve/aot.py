@@ -33,6 +33,7 @@ from __future__ import annotations
 import logging
 import os
 import pickle
+import threading
 from pathlib import Path
 
 logger = logging.getLogger(__name__)
@@ -51,6 +52,12 @@ class AotStore:
         self.export = export
         self._mem: dict[str, object] = {}
         self._miss: set[str] = set()
+        # Export mode compiles from thread pools (precompile --export-aot):
+        # per-key locks keep concurrent same-key misses from compiling AND
+        # serializing the same program twice, while distinct keys still
+        # compile in parallel.
+        self._mu = threading.Lock()
+        self._key_locks: dict[str, threading.Lock] = {}
         if export:
             self.root.mkdir(parents=True, exist_ok=True)
 
@@ -113,13 +120,21 @@ class AotStore:
         compiled = jitted.lower(*args).compile()
         try:
             payload, in_tree, out_tree = se.serialize(compiled)
-            tmp = self._path(key).with_suffix(".tmp")
+            # Unique tmp per writer: two processes exporting into one store
+            # must never replace() each other's half-written files.
+            tmp = self._path(key).with_suffix(
+                f".tmp-{os.getpid()}-{threading.get_ident()}"
+            )
             tmp.write_bytes(pickle.dumps((payload, in_tree, out_tree)))
             tmp.replace(self._path(key))
             logger.info("Exported AOT serve executable %s", self._path(key).name)
         except Exception:
             logger.exception("Failed to serialize executable for %s", key)
         return compiled
+
+    def _lock_for(self, key: str) -> threading.Lock:
+        with self._mu:
+            return self._key_locks.setdefault(key, threading.Lock())
 
     def run(self, key: str, jitted, args: tuple):
         """Run ``jitted(*args)`` through the stored executable for ``key``.
@@ -129,13 +144,16 @@ class AotStore:
         """
         fn = self._mem.get(key)
         if fn is None and key not in self._miss:
-            fn = self._load(key)
-            if fn is None and self.export:
-                fn = self._build_and_save(key, jitted, args)
-            if fn is None:
-                self._miss.add(key)
-            else:
-                self._mem[key] = fn
+            with self._lock_for(key):
+                fn = self._mem.get(key)  # a racing thread may have resolved it
+                if fn is None and key not in self._miss:
+                    fn = self._load(key)
+                    if fn is None and self.export:
+                        fn = self._build_and_save(key, jitted, args)
+                    if fn is None:
+                        self._miss.add(key)
+                    else:
+                        self._mem[key] = fn
         if fn is None:
             return jitted(*args)
         try:

@@ -89,9 +89,18 @@ def warm_serve_shapes(
             [dummy] * b, max_seq_length=max_seq, pad_to=s_len, pad_batch_to=b
         )
 
+    # Per-batch-size embeddings (encoded at the smallest seq bucket) for the
+    # index jobs. Computed once in phase 1: with the AOT store in export mode
+    # (--export-aot), AotStore.run bypasses jit's per-signature dedup via
+    # lowered.compile(), so concurrent index jobs re-encoding the same
+    # (b, seq) shape would each compile the SAME encode program.
+    emb_by_batch: dict[int, np.ndarray] = {}
+
     def encode_job(b: int, s_len: int) -> int:
         ids, _ = tokenize(b, s_len)
-        enc._run_encode(jnp.asarray(ids.astype(enc.wire_dtype)))
+        emb = enc._run_encode(jnp.asarray(ids.astype(enc.wire_dtype)))
+        if s_len == seq_buckets[0]:
+            emb_by_batch[b] = np.asarray(emb)
         return 1
 
     def fused_job(s_len: int, k_eff: int) -> int:
@@ -100,34 +109,37 @@ def warm_serve_shapes(
         return 1
 
     def index_job(b: int, k_eff: int, with_filter: bool) -> int:
-        # The index program depends on (batch, k), not seq: encode at the
-        # smallest bucket. Concurrent same-shape encodes share one compile
-        # (jit holds a per-signature lock).
-        ids, _ = tokenize(b, seq_buckets[0])
-        emb = enc._run_encode(jnp.asarray(ids.astype(enc.wire_dtype)))
+        # The index program depends on (batch, k), not seq: reuse the
+        # phase-1 embedding for this batch size (no re-encode, no redundant
+        # AOT compile of the encode program).
+        emb = emb_by_batch[b]
         if with_filter:
-            recommender.index.topk(
-                np.asarray(emb), k_eff, candidate_mask=np.ones(n, np.int32)
-            )
+            recommender.index.topk(emb, k_eff, candidate_mask=np.ones(n, np.int32))
         else:
-            recommender.index.topk(np.asarray(emb), k_eff)
+            recommender.index.topk(emb, k_eff)
         return 1
 
-    thunks = []
+    encode_thunks = []
+    index_thunks = []
     for b in batch_buckets:
         for s_len in seq_buckets:
-            thunks.append(functools.partial(encode_job, b, s_len))
+            encode_thunks.append(functools.partial(encode_job, b, s_len))
         for k_eff in k_effs:
-            thunks.append(functools.partial(index_job, b, k_eff, False))
+            index_thunks.append(functools.partial(index_job, b, k_eff, False))
             if with_filters and hasattr(recommender.index, "topk_device"):
-                thunks.append(functools.partial(index_job, b, k_eff, True))
+                index_thunks.append(functools.partial(index_job, b, k_eff, True))
     if recommender._fused is not None and 1 in batch_buckets:
         for s_len in seq_buckets:
             for k_eff in k_effs:
-                thunks.append(functools.partial(fused_job, s_len, k_eff))
+                encode_thunks.append(functools.partial(fused_job, s_len, k_eff))
 
-    with ThreadPoolExecutor(max(1, jobs or min(16, len(thunks)))) as ex:
-        n_programs = sum(f.result() for f in [ex.submit(t) for t in thunks])
+    n_jobs = max(1, jobs or min(16, len(encode_thunks) + len(index_thunks)))
+    n_programs = 0
+    with ThreadPoolExecutor(n_jobs) as ex:
+        # Phase 1: every encode / fused-tower program (these dominate compile
+        # wall time). Phase 2: index programs, reusing phase-1 embeddings.
+        n_programs += sum(f.result() for f in [ex.submit(t) for t in encode_thunks])
+        n_programs += sum(f.result() for f in [ex.submit(t) for t in index_thunks])
     logger.info(
         "precompiled %d serve programs (%d batch x %d seq x %d k shapes) in %.1fs",
         n_programs,

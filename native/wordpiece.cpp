@@ -23,6 +23,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <mutex>
+#include <shared_mutex>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -42,6 +44,11 @@ constexpr int32_t kXformEmpty = -2;   // transform output is empty
 struct Tokenizer {
   std::unordered_map<std::string, int32_t> vocab;
   std::unordered_map<std::string, std::vector<int32_t>> word_cache;
+  // ctypes releases the GIL for the duration of wp_encode_batch, and one
+  // handle is shared across serve threads / the precompile pool — the memo
+  // is the only mutable state, so guard it (shared lock on the hot hit
+  // path, exclusive only for insert/clear).
+  mutable std::shared_mutex cache_mu;
   // Bounded memo (mirrors the Python path's cap): serving tokenizes
   // arbitrary free text, and an uncapped cache grows RSS without limit.
   // On overflow the memo resets; the working vocabulary re-fills it fast.
@@ -69,10 +76,13 @@ struct Tokenizer {
   }
 
   void wordpiece(const std::string& word, int n_cps, std::vector<int32_t>& out) {
-    auto cached = word_cache.find(word);
-    if (cached != word_cache.end()) {
-      out.insert(out.end(), cached->second.begin(), cached->second.end());
-      return;
+    {
+      std::shared_lock<std::shared_mutex> rl(cache_mu);
+      auto cached = word_cache.find(word);
+      if (cached != word_cache.end()) {
+        out.insert(out.end(), cached->second.begin(), cached->second.end());
+        return;
+      }
     }
     std::vector<int32_t> ids;
     if (n_cps > max_chars_per_word) {
@@ -104,8 +114,11 @@ struct Tokenizer {
         start = end;
       }
     }
-    if (word_cache.size() >= kWordCacheMax) word_cache.clear();
-    word_cache.emplace(word, ids);
+    {
+      std::unique_lock<std::shared_mutex> wl(cache_mu);
+      if (word_cache.size() >= kWordCacheMax) word_cache.clear();
+      word_cache.emplace(word, ids);
+    }
     out.insert(out.end(), ids.begin(), ids.end());
   }
 

@@ -124,3 +124,39 @@ def test_native_faster_than_python(tok):
     _python_batch(tok, texts, pad_to=64)
     python_t = time.time() - t0
     assert native_t < python_t, (native_t, python_t)
+
+
+def test_concurrent_encode_batch_shared_handle(tok):
+    """One native handle hammered from many threads stays correct.
+
+    ctypes releases the GIL during wp_encode_batch, and serving shares a
+    single handle across request threads (plus the precompile pool) — the
+    word-piece memo inside the handle is the shared mutable state. Every
+    thread must get results identical to a serial encode of the same rows.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    words = [
+        "organic", "milk", "bread", "wheat", "aisle", "department", "dairy",
+        "unseenzzqx", "mixed42tokens", "upper", "lower", "banana", "yogurt",
+    ]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(2, 12)).tolist())
+        + f" {int(rng.integers(0, 99999))}"
+        for _ in range(400)
+    ]
+    expected_ids, expected_mask = tok.encode_batch(texts, max_seq_length=48, pad_to=48)
+
+    def worker(seed: int):
+        order = np.random.default_rng(seed).permutation(len(texts))
+        shuffled = [texts[i] for i in order]
+        ids, mask = tok.encode_batch(shuffled, max_seq_length=48, pad_to=48)
+        return order, ids, mask
+
+    with ThreadPoolExecutor(8) as ex:
+        for order, ids, mask in ex.map(worker, range(16)):
+            np.testing.assert_array_equal(ids, expected_ids[order])
+            np.testing.assert_array_equal(mask, expected_mask[order])
