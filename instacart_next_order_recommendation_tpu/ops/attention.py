@@ -254,16 +254,18 @@ def multi_head_attention(
 ) -> jax.Array:
     """Dispatching entry point; see module docstring for shapes.
 
-    ``training=True`` defaults to the jnp/XLA path: at MiniLM shapes the
-    runtime is identical (dispatch-bound) but the Pallas fwd+bwd graph inside
-    the double-scan train step compiles ~10x slower on remote-compile
-    runtimes. Set ``ITOR_PALLAS_TRAIN=1`` to force kernels in training too.
+    Training and inference both default to the Pallas kernels on TPU (the
+    hand-written fwd + recompute-flash bwd pair). The one-time compile of the
+    fwd+bwd graph is absorbed by the persistent compilation cache
+    (utils/cache.py), so only the first run on a fresh machine pays it.
+    ``ITOR_PALLAS_TRAIN=0`` opts training out (escape hatch for
+    remote-compile-constrained debugging; inference is unaffected).
     """
     import os
 
     from instacart_next_order_recommendation_tpu.ops import pallas_interpret, use_pallas
 
-    if training and os.getenv("ITOR_PALLAS_TRAIN", "").strip() not in ("1", "true"):
+    if training and os.getenv("ITOR_PALLAS_TRAIN", "").strip() in ("0", "false"):
         return multi_head_attention_reference(q, k, v, mask, scale)
     if use_pallas():
         return _attention_pallas(q, k, v, mask, scale, pallas_interpret())

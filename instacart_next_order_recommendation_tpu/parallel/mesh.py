@@ -41,9 +41,15 @@ class MeshConfig:
 
 
 def maybe_initialize_distributed() -> None:
-    """Initialize jax.distributed for multi-host pods when coordinator env is set.
+    """Initialize jax.distributed for multi-host runs when coordinator env is set.
 
     Single-host runs (including this repo's tests and benches) skip it.
+
+    On TPU pods / Slurm / Open MPI, ``JAX_COORDINATOR_ADDRESS`` alone is
+    enough (jax auto-detects process count/id). On bare multi-process
+    launches (scripts/launch_multihost.py's localhost CPU mesh, or a
+    hand-rolled pod bootstrap) there is nothing to auto-detect, so
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` are honored explicitly.
 
     Gate on env/client state ONLY — calling any device-touching jax API
     (e.g. ``jax.process_count()``) here would initialize the XLA backend
@@ -54,8 +60,13 @@ def maybe_initialize_distributed() -> None:
         return
     if jax.distributed.is_initialized():
         return  # already initialized (idempotent across trainer/evaluator)
+    num_processes = os.getenv("JAX_NUM_PROCESSES")
+    process_id = os.getenv("JAX_PROCESS_ID")
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            num_processes=int(num_processes) if num_processes else None,
+            process_id=int(process_id) if process_id else None,
+        )
     except Exception:  # pragma: no cover - depends on launch environment
         logger.warning("jax.distributed.initialize failed; continuing single-process")
 

@@ -431,7 +431,13 @@ class TwoTowerTrainer:
     def train(self) -> dict:
         """Run training; returns {"history": [...], "best_epoch": int}."""
         cfg = self.cfg
-        cfg.output_dir.mkdir(parents=True, exist_ok=True)
+        # Multi-host: every process computes identical replicated state, but
+        # only process 0 touches the filesystem (checkpoints, history, final
+        # export) — on a shared FS concurrent writers would corrupt each
+        # other, and on per-host disks the copies would silently diverge.
+        is_main = jax.process_index() == 0
+        if is_main:
+            cfg.output_dir.mkdir(parents=True, exist_ok=True)
 
         train_ds, eval_queries, eval_corpus, eval_relevant = self._load_processed()
         anchors: list[str] = train_ds["anchor"]
@@ -628,8 +634,9 @@ class TwoTowerTrainer:
                     metrics["accuracy_at_10"],
                 )
             history.append(entry)
-            self._save_epoch_checkpoint(epoch, params, opt_state, tower_cfg, tokenizer, history)
-            (cfg.output_dir / "eval_history.json").write_text(json.dumps(history, indent=2))
+            if is_main:
+                self._save_epoch_checkpoint(epoch, params, opt_state, tower_cfg, tokenizer, history)
+                (cfg.output_dir / "eval_history.json").write_text(json.dumps(history, indent=2))
 
         # Best-checkpoint selection by NDCG@10 (reference :219-220, :238-239).
         best_epoch = cfg.epochs
@@ -637,21 +644,21 @@ class TwoTowerTrainer:
             scored = [h for h in history if BEST_METRIC in h]
             if scored:
                 best_epoch = max(scored, key=lambda h: h[BEST_METRIC])["epoch"]
-        best_ckpt = self.cfg.output_dir / f"checkpoint-epoch{best_epoch}"
-        if best_ckpt.exists():
-            params, tower_cfg, tokenizer = load_tower(best_ckpt)
-            logger.info("Loaded best checkpoint (epoch %d by %s)", best_epoch, BEST_METRIC)
-
         final_dir = cfg.output_dir / FINAL_SUBDIR
-        save_tower(final_dir, params, tower_cfg, tokenizer)
-        best_entry = next((h for h in history if h["epoch"] == best_epoch), None)
-        (cfg.output_dir / "best.json").write_text(
-            json.dumps(
-                {"best_epoch": best_epoch, "metric": BEST_METRIC, "entry": best_entry},
-                indent=2,
+        if is_main:
+            best_ckpt = self.cfg.output_dir / f"checkpoint-epoch{best_epoch}"
+            if best_ckpt.exists():
+                params, tower_cfg, tokenizer = load_tower(best_ckpt)
+                logger.info("Loaded best checkpoint (epoch %d by %s)", best_epoch, BEST_METRIC)
+            save_tower(final_dir, params, tower_cfg, tokenizer)
+            best_entry = next((h for h in history if h["epoch"] == best_epoch), None)
+            (cfg.output_dir / "best.json").write_text(
+                json.dumps(
+                    {"best_epoch": best_epoch, "metric": BEST_METRIC, "entry": best_entry},
+                    indent=2,
+                )
             )
-        )
-        logger.info("[5/5] Done. Model saved to %s", final_dir)
+            logger.info("[5/5] Done. Model saved to %s", final_dir)
         return {"history": history, "best_epoch": best_epoch, "final_dir": str(final_dir)}
 
     def _eval_loss(
