@@ -16,10 +16,23 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# Repo-local compiled-program artifacts: the persistent XLA cache AND the
+# AOT-serialized serve executables ship WITH the repo (artifacts/), so a
+# bench run on a fresh machine with a matching device/JAX build answers
+# without the multi-minute remote-compile wall — the serving-image recipe
+# (serve/aot.py) applied to the bench itself. Explicit env always wins;
+# a device/JAX mismatch is a clean miss that falls back to compiling.
+_ARTIFACTS = Path(__file__).resolve().parent / "artifacts"
+os.environ.setdefault("ITOR_COMPILATION_CACHE", str(_ARTIFACTS / "xla_cache"))
+os.environ.setdefault("ITOR_AOT_DIR", str(_ARTIFACTS / "aot"))
+os.environ.setdefault("ITOR_AOT_EXPORT", "1")
 
 REFERENCE_QPS = 1000.0 / 119.9  # reference end-to-end serve latency
 CATALOG_SIZE = 50_000
@@ -139,12 +152,12 @@ def main() -> None:
         np.asarray(packed)
 
     def warm_device_encode():
-        # encoder._jitted at [1, 256]: the device-side latency section.
+        # encode at [1, 256]: the device-side latency section (AOT-keyed).
         wids, _ = tokenizer.encode_batch(
             query_texts[:1], max_seq_length=256, pad_to=256
         )
         np.asarray(
-            encoder._jitted(encoder.params, jnp.asarray(wids.astype(encoder.wire_dtype)))
+            encoder._run_encode(jnp.asarray(wids.astype(encoder.wire_dtype)))
         )
 
     # Catalog-encode warm-up must cover every seq bucket the timed
@@ -252,7 +265,7 @@ def main() -> None:
     ids_d = jnp.asarray(ids.astype(encoder.wire_dtype))
 
     def device_once():
-        e = encoder._jitted(encoder.params, ids_d)
+        e = encoder._run_encode(ids_d)
         return index.topk_device(e, TOP_K)
 
     jax.block_until_ready(device_once())

@@ -133,7 +133,12 @@ class TextEncoder:
         if self._batch_sharding is not None:
             ids_d = jax.device_put(ids_d, self._batch_sharding)
         emb = self._run_encode(ids_d)
-        return emb if keep_padding else emb[: len(texts)]
+        if keep_padding or emb.shape[0] == len(texts):
+            # Skip the no-op slice: it is its own (tiny) compiled program,
+            # and zero-compile AOT serving means the first request must not
+            # invoke the compiler at all.
+            return emb
+        return emb[: len(texts)]
 
     def encode(
         self,

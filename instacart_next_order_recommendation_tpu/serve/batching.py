@@ -75,6 +75,14 @@ class MicroBatcher:
         self._pending: list[_Slot] = []
         self._tls = threading.local()
         self.window_ms = window_ms
+        # Adaptive lone-query fast path: the window only pays off when
+        # followers actually arrive. Track the last drain size — after a
+        # single-query drain (idle traffic), the next leader dispatches
+        # immediately instead of sleeping the window, so a lone query's p50
+        # is one dispatch, not window + dispatch. Under sustained
+        # concurrency the drains are >1 and the window re-engages within
+        # one batch.
+        self._last_drain = 0
         # Objects without the batched internals (e.g. test doubles) pass
         # straight through to their own recommend().
         self._passthrough = not all(
@@ -139,12 +147,16 @@ class MicroBatcher:
             is_leader = len(self._pending) == 1
 
         if is_leader:
-            time.sleep(self._window_s)
+            with self._lock:
+                busy = self._last_drain > 1 or len(self._pending) > 1
+            if busy:
+                time.sleep(self._window_s)
             # One atomic drain: everything that arrived during the window is
             # this leader's responsibility (chunked to max_batch); anything
             # arriving after the drain sees an empty queue and elects itself.
             with self._lock:
                 drained, self._pending = self._pending, []
+                self._last_drain = len(drained)
             for lo in range(0, len(drained), self._max_batch):
                 self._process(drained[lo : lo + self._max_batch])
         elif not slot.event.wait(timeout=_FOLLOWER_TIMEOUT_S + self._window_s):

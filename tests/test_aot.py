@@ -1,5 +1,7 @@
 """AOT executable store tests: export, zero-compile reload, miss fallback."""
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,3 +134,95 @@ def test_run_falls_back_when_stored_executable_rejects_args(tmp_path):
     # And the miss is remembered: subsequent calls go straight to jit.
     out2 = fresh.run("k", f, (b,))
     assert out2.shape == (8,)
+
+
+def test_server_first_request_zero_compile(tmp_path):
+    """A server started against a populated AOT store answers its FIRST
+    request without a single compiler invocation.
+
+    Export and serve each run in their own subprocess on a single CPU
+    device (the AOT store's target is the single-chip serving image) with
+    DIFFERENT XLA persistent-cache directories, so neither this process's
+    jit caches nor a shared compilation cache can mask a miss: every
+    program the first request needs must come from the serialized-executable
+    store, or the serve-side compile spy trips.
+    """
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tests.helpers import make_corpus, make_tiny_model_dir
+
+    corpus = make_corpus(12)
+    mdir = make_tiny_model_dir(tmp_path, corpus)
+    corpus_path = tmp_path / "eval_corpus.json"
+    corpus_path.write_text(json.dumps(corpus))
+    aot_dir = tmp_path / "aot"
+    repo = str(Path(__file__).resolve().parents[1])
+
+    preamble = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 1)
+import sys
+sys.path.insert(0, {repo!r})
+"""
+    export_script = preamble + f"""
+from instacart_next_order_recommendation_tpu.serve.recommender import MonitoredRecommender
+from instacart_next_order_recommendation_tpu.serve.precompile import warm_serve_shapes
+rec = MonitoredRecommender(model_dir={str(mdir)!r}, corpus_path={str(corpus_path)!r})
+n = warm_serve_shapes(rec)
+rec.recommend("Organic Milk", top_k=5)  # the exact first-request flow
+print("exported", n)
+"""
+    serve_script = preamble + f"""
+import json
+import jax._src.compiler as jcompiler
+compiled = []
+real = jcompiler.compile_or_get_cached
+def spy(*args, **kwargs):
+    module = kwargs.get("computation", args[1] if len(args) > 1 else None)
+    try:
+        name = str(module.operation.attributes["sym_name"])
+    except Exception:
+        name = str(type(module))
+    compiled.append(name)
+    return real(*args, **kwargs)
+jcompiler.compile_or_get_cached = spy
+
+from instacart_next_order_recommendation_tpu.api.app import create_app
+from instacart_next_order_recommendation_tpu.api.http import TestClient
+app = create_app(model_dir={str(mdir)!r}, corpus_path={str(corpus_path)!r})
+with TestClient(app) as c:
+    r = c.post("/recommend", json={{"user_context": "Organic Milk", "top_k": 5}})
+print("RESULT " + json.dumps({{
+    "status": r.status_code,
+    "n": len(r.json().get("recommendations", [])),
+    "compiled": compiled,
+}}))
+"""
+
+    def run(script: str, cache_sub: str, export: bool):
+        env = dict(os.environ)
+        env["ITOR_AOT_DIR"] = str(aot_dir)
+        env["ITOR_AOT_EXPORT"] = "1" if export else "0"
+        env["ITOR_COMPILATION_CACHE"] = str(tmp_path / cache_sub)
+        env["FEEDBACK_DB_PATH"] = str(tmp_path / "fb.db")
+        proc = subprocess.run(
+            [sys.executable, "-c", script], env=env,
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+        return proc.stdout
+
+    run(export_script, "export_cache", export=True)
+    assert list(aot_dir.rglob("*.jaxexec")), "export produced no executables"
+
+    out = run(serve_script, "serve_cache", export=False)
+    result = json.loads(out.split("RESULT ", 1)[1])
+    assert result["status"] == 200
+    assert result["n"] == 5
+    assert result["compiled"] == [], (
+        f"first request invoked the compiler for: {result['compiled']}"
+    )

@@ -47,6 +47,9 @@ def test_concurrent_requests_coalesce(rec):
     spy = _TopkSpy(rec.index)
     batcher = MicroBatcher(rec, window_ms=60.0)
     batcher._rec = _RecView(rec, spy)
+    # Put the batcher in its loaded regime (the adaptive fast path skips the
+    # window after single-query drains; sustained concurrency re-engages it).
+    batcher._last_drain = 2
 
     queries = [f"organic milk {i % 4}" for i in range(8)]
     results: dict[int, list] = {}
@@ -243,3 +246,60 @@ def test_monitored_recommender_buckets_k(tmp_path):
     assert all(pid not in {"1", "2"} for pid, _ in out)
     (b, k), = spy.calls
     assert k == 16  # 12 -> next K_BUCKETS entry
+
+
+def test_lone_query_skips_window(rec):
+    """Idle traffic: a lone query must dispatch immediately, not pay the
+    coalescing window (the adaptive fast path after single-query drains)."""
+    batcher = MicroBatcher(rec, window_ms=400.0)
+    batcher.recommend("organic milk", top_k=3)  # first drain: size 1
+    t0 = time.time()
+    out = batcher.recommend("organic bread", top_k=3)
+    elapsed = time.time() - t0
+    assert out == rec.recommend("organic bread", top_k=3)
+    assert elapsed < 0.2, f"lone query paid the window: {elapsed*1e3:.0f} ms"
+
+
+def test_window_reengages_under_concurrency(rec):
+    """After a coalesced drain the window stays on: bursts keep batching."""
+    spy = _TopkSpy(rec.index)
+    batcher = MicroBatcher(rec, window_ms=60.0)
+    batcher._rec = _RecView(rec, spy)
+    batcher._last_drain = 2
+
+    def burst(n):
+        threads = [
+            threading.Thread(
+                target=batcher.recommend, args=(f"milk {i}",), kwargs={"top_k": 3}
+            )
+            for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+            time.sleep(0.002)
+        for t in threads:
+            t.join()
+
+    burst(6)
+    sizes_first = list(spy.batch_sizes)
+    assert max(sizes_first) > 1
+    burst(6)  # the re-engaged window coalesces the second burst too
+    assert max(spy.batch_sizes[len(sizes_first):]) > 1
+
+
+def test_batching_under_sustained_concurrency_exact(rec):
+    """Adversarial: many threads, several waves, no stagger — every result
+    must equal the direct path and no request may hang or error."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    batcher = MicroBatcher(rec, window_ms=5.0)
+    queries = [f"organic milk {i % 7}" for i in range(48)]
+    direct = {q: rec.recommend(q, top_k=4) for q in set(queries)}
+
+    with ThreadPoolExecutor(16) as ex:
+        results = list(ex.map(lambda q: (q, batcher.recommend(q, top_k=4)), queries))
+    for q, got in results:
+        assert [p for p, _ in got] == [p for p, _ in direct[q]]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in direct[q]], atol=1e-5
+        )

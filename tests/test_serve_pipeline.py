@@ -63,3 +63,46 @@ def test_packed_transfer_is_integer_space(setup):
     ids, mask = enc.tokenizer.encode_batch(["milk"], max_seq_length=enc.max_seq_length)
     packed, k = fused.topk_device(ids, mask, 5)
     assert np.asarray(packed).dtype == np.int32
+
+
+def test_score_bitcast_survives_denormal_edge():
+    """Adversarial: the packed wire format bitcasts f32 scores to int32 on
+    device. Bitcast is a bit-level reinterpret, not arithmetic — so even
+    scores that are themselves denormal f32 values (plus 0.0/-0.0/inf/nan
+    edges) must round-trip bit-exactly through device -> int32 wire ->
+    host view(float32). If a backend's bitcast lowered through a float
+    path, flush-to-zero would corrupt exactly these values."""
+    import jax
+    import jax.numpy as jnp
+
+    edge = np.array(
+        [
+            0.0, -0.0,
+            1e-39, -1e-39,            # f32 denormals
+            np.finfo(np.float32).tiny,            # smallest normal
+            np.finfo(np.float32).tiny / 2,        # denormal
+            1.0, -1.0,
+            np.finfo(np.float32).max,
+            np.inf, -np.inf, np.nan,
+        ],
+        dtype=np.float32,
+    )
+    f = jax.jit(lambda s: jax.lax.bitcast_convert_type(s, jnp.int32))
+    wire = np.asarray(f(jnp.asarray(edge)))
+    assert wire.dtype == np.int32
+    back = wire.view(np.float32)
+    np.testing.assert_array_equal(back.view(np.int32), edge.view(np.int32))
+
+
+def test_unpack_is_exact_for_arbitrary_scores():
+    """unpack() must reproduce score bit patterns exactly for any packed
+    row, including denormals — it is a view, not a conversion."""
+    rng = np.random.default_rng(0)
+    scores = rng.standard_normal((3, 4)).astype(np.float32)
+    scores[0, 0] = 1e-39  # denormal
+    scores[1, 1] = -0.0
+    indices = rng.integers(0, 100, size=(3, 4)).astype(np.int32)
+    packed = np.concatenate([scores.view(np.int32), indices], axis=1)
+    s, i = FusedServePipeline.unpack(packed, 4)
+    np.testing.assert_array_equal(s.view(np.int32), scores.view(np.int32))
+    np.testing.assert_array_equal(i, indices)
