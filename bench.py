@@ -297,4 +297,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--ivf" in sys.argv:
+        # IVF ANN sweep at a 1M-product catalog (recall@10-vs-exact + q/s);
+        # the exact scan above stays the headline metric and default.
+        from scripts.bench_ivf import main as ivf_main
+
+        ivf_main()
+    else:
+        main()
