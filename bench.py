@@ -175,21 +175,34 @@ def main() -> None:
         )
         catalog_chunk_by_shape.setdefault(cids.shape, lo)
     t0 = time.time()
-    with ThreadPoolExecutor(len(serve_shapes) + len(catalog_chunk_by_shape) + 1) as ex:
-        jobs = [
-            # catalog-bucket encode programs (index build path)
-            ex.submit(
-                encoder.encode,
-                sorted_catalog[lo : lo + CATALOG_BATCH],
-                batch_size=CATALOG_BATCH,
-            )
-            for lo in catalog_chunk_by_shape.values()
-        ] + [
-            ex.submit(warm_device_encode),
-        ]
-        jobs += [ex.submit(warm_fused, s) for s in sorted(serve_shapes)]
-        for j in jobs:
-            j.result()
+    ex = ThreadPoolExecutor(len(serve_shapes) + len(catalog_chunk_by_shape) + 1)
+    jobs = [
+        # catalog-bucket encode programs (index build path)
+        ex.submit(
+            encoder.encode,
+            sorted_catalog[lo : lo + CATALOG_BATCH],
+            batch_size=CATALOG_BATCH,
+        )
+        for lo in catalog_chunk_by_shape.values()
+    ] + [
+        ex.submit(warm_device_encode),
+    ]
+    jobs += [ex.submit(warm_fused, s) for s in sorted(serve_shapes)]
+    # Bounded wait: a single wedged remote-compile RPC must not hang the
+    # whole bench (observed once on a cold export run — every executable was
+    # written but one future never resolved). Stragglers are logged and their
+    # programs compile lazily inside the timed sections (slower, correct);
+    # the wedged worker thread is abandoned (non-blocking shutdown + hard
+    # exit at the end so interpreter shutdown never joins it).
+    from concurrent.futures import wait as fwait
+
+    done, not_done = fwait(jobs, timeout=1200)
+    for j in done:
+        j.result()  # surface real failures
+    straggling_warmup = bool(not_done)
+    if straggling_warmup:
+        log(f"WARNING: {len(not_done)} warm-up compiles still pending after 1200s; proceeding")
+    ex.shutdown(wait=False, cancel_futures=True)
     log(f"warm-up compiles: {time.time() - t0:.1f}s ({len(jobs)} programs)")
 
     # --- catalog encode (index build) ----------------------------------------
@@ -294,6 +307,14 @@ def main() -> None:
         },
     }
     print(json.dumps(result))
+    if straggling_warmup:
+        # A wedged warm-up thread would block interpreter shutdown's thread
+        # join; results are already printed, so exit hard.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        import os as _os
+
+        _os._exit(0)
 
 
 if __name__ == "__main__":
