@@ -6,9 +6,16 @@
 
 FROM python:3.12-slim AS base
 
+# ITOR_AOT_DIR: default zero-compile startup — the deploy pipeline bakes
+# serialized serve executables next to the model volume with
+#   python -m instacart_next_order_recommendation_tpu.serve.precompile \
+#       --config configs/inference.yaml --export-aot /models/aot
+# (device-specific; run it on the serving hardware class). An absent or
+# mismatched store is a clean miss, so the env is safe to set always.
 ENV PYTHONUNBUFFERED=1 \
     PIP_NO_CACHE_DIR=1 \
-    ITOR_COMPILATION_CACHE=/app/.cache/itor_xla
+    ITOR_COMPILATION_CACHE=/app/.cache/itor_xla \
+    ITOR_AOT_DIR=/models/aot
 
 WORKDIR /app
 

@@ -1,0 +1,138 @@
+"""Encoder MFU measurements behind docs/PERFORMANCE.md ("Encoder MFU").
+
+Measures, on the real chip, the fused encode at the serve seq buckets, the
+XLA pure-GEMM chain at identical dims (the MXU roofline for this tower),
+and the unfused XLA tower — with tunnel-proof timing: R data-dependent
+dispatches queued back-to-back, one readback, minus the measured
+dispatch+readback RTT floor (naive `block_until_ready` timing reads ~0
+through remote-execution tunnels).
+
+Run: python scripts/bench_mfu.py [batch]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+_repo_root = str(Path(__file__).resolve().parents[1])
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from instacart_next_order_recommendation_tpu.models import MINILM_L6, init_params
+    from instacart_next_order_recommendation_tpu.models.encoder import encode
+    from instacart_next_order_recommendation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    R = 32
+    cfg = dataclasses.replace(MINILM_L6, vocab_size=12000)
+    params = init_params(cfg, jax.random.key(0))
+    h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    rng = np.random.default_rng(0)
+
+    f_nop = jax.jit(lambda x: x + 1.0)
+    x0 = jnp.zeros(())
+    float(f_nop(x0))
+    rtts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        float(f_nop(x0))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(f"dispatch+readback RTT floor: {rtt*1e3:.2f} ms")
+
+    def bench(label, step, flops, reps=3):
+        c = step(jnp.zeros((), jnp.float32))
+        float(np.asarray(c))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            c = jnp.zeros((), jnp.float32)
+            t0 = time.perf_counter()
+            for _ in range(R):
+                c = step(c)
+            float(np.asarray(c))
+            ts.append(time.perf_counter() - t0)
+        per = (float(np.median(ts)) - rtt) / R
+        tf = flops / per / 1e12
+        print(
+            f"{label}: {per*1e3:6.2f} ms -> {tf:6.1f} TFLOP/s "
+            f"({100*tf/V5E_BF16_PEAK_TFLOPS:4.1f}% of v5e bf16 peak), {B/per:7.0f} ex/s"
+        )
+
+    # Fused encode at the serve seq buckets.
+    for S in (32, 64, 128):
+        ids = jnp.asarray(rng.integers(4, 11000, size=(B, S)), jnp.int32)
+        mask = jnp.ones((B, S), jnp.int32)
+        flops = L * (2 * B * S * (4 * h * h + 2 * h * inter) + 4 * B * S * S * h)
+        enc_jit = jax.jit(lambda p, i, m: encode(p, i, m, cfg))
+
+        def step(c, _enc=enc_jit, _ids=ids, _mask=mask):
+            e = _enc(params, _ids + (c.astype(jnp.int32) % 2), _mask)
+            return e[0, 0].astype(jnp.float32) * 1e-6
+
+        bench(f"fused encode S={S:<4}", step, flops)
+
+    # XLA pure-GEMM chain at the tower's dims: the realistic MXU ceiling.
+    S = 128
+    xx = jnp.asarray(rng.standard_normal((B * S, h)), jnp.bfloat16)
+    Ws = tuple(
+        jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+        for s in ((L, h, 3 * h), (L, 3 * h, h), (L, h, inter), (L, inter, h))
+    )
+
+    @jax.jit
+    def gemm_chain(x, Ws, c):
+        x = x + c.astype(jnp.bfloat16)
+
+        def body(c2, w):
+            y = c2
+            for wi in w:
+                y = jax.lax.dot_general(
+                    y, wi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+            return y, None
+
+        y, _ = jax.lax.scan(body, x, Ws)
+        return y
+
+    def step2(c):
+        y = gemm_chain(xx, Ws, c)
+        return y[0, 0].astype(jnp.float32) * 1e-6
+
+    gemm_flops = L * 2 * B * S * (3 * h * h + 3 * h * h + 2 * h * inter)
+    bench("XLA GEMM chain S=128", step2, gemm_flops)
+
+    # Unfused XLA tower (fused-layer kernel disabled).
+    import os
+
+    os.environ["ITOR_DISABLE_FUSED_LAYER"] = "1"
+    ids = jnp.asarray(rng.integers(4, 11000, size=(B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    flops = L * (2 * B * S * (4 * h * h + 2 * h * inter) + 4 * B * S * S * h)
+    enc_unfused = jax.jit(lambda p, i, m: encode(p, i, m, cfg))
+
+    def step3(c):
+        e = enc_unfused(params, ids + (c.astype(jnp.int32) % 2), mask)
+        return e[0, 0].astype(jnp.float32) * 1e-6
+
+    bench("unfused XLA  S=128  ", step3, flops)
+    os.environ.pop("ITOR_DISABLE_FUSED_LAYER", None)
+
+
+if __name__ == "__main__":
+    main()
