@@ -30,6 +30,7 @@ import numpy as np
 # (serve/aot.py) applied to the bench itself. Explicit env always wins;
 # a device/JAX mismatch is a clean miss that falls back to compiling.
 _ARTIFACTS = Path(__file__).resolve().parent / "artifacts"
+_DEFAULTED_AOT_EXPORT = "ITOR_AOT_EXPORT" not in os.environ
 os.environ.setdefault("ITOR_COMPILATION_CACHE", str(_ARTIFACTS / "xla_cache"))
 os.environ.setdefault("ITOR_AOT_DIR", str(_ARTIFACTS / "aot"))
 os.environ.setdefault("ITOR_AOT_EXPORT", "1")
@@ -320,7 +321,13 @@ def main() -> None:
 if __name__ == "__main__":
     if "--ivf" in sys.argv:
         # IVF ANN sweep at a 1M-product catalog (recall@10-vs-exact + q/s);
-        # the exact scan above stays the headline metric and default.
+        # the exact scan above stays the headline metric and default. The
+        # sweep must NOT export into the shipped AOT store by default — its
+        # dozens of multi-MB 1M-catalog executables are sweep-only (the
+        # headline program set is what artifacts/ is for). An explicit
+        # ITOR_AOT_EXPORT env still wins.
+        if _DEFAULTED_AOT_EXPORT:
+            os.environ["ITOR_AOT_EXPORT"] = "0"
         from scripts.bench_ivf import main as ivf_main
 
         ivf_main()

@@ -67,8 +67,18 @@ def maybe_initialize_distributed() -> None:
             num_processes=int(num_processes) if num_processes else None,
             process_id=int(process_id) if process_id else None,
         )
-    except Exception:  # pragma: no cover - depends on launch environment
-        logger.warning("jax.distributed.initialize failed; continuing single-process")
+    except Exception as exc:
+        # Fail LOUDLY: the coordinator env was set, so the operator asked
+        # for a multi-process run. Degrading to single-process here would
+        # make every host believe it is process 0 — on a shared filesystem
+        # they would then all pass the trainer's process-0 write gate and
+        # corrupt one output tree, and the "distributed" job would silently
+        # train N independent models.
+        raise RuntimeError(
+            "JAX_COORDINATOR_ADDRESS is set but jax.distributed.initialize "
+            "failed (check JAX_NUM_PROCESSES / JAX_PROCESS_ID on "
+            "non-autodetected launches)"
+        ) from exc
 
 
 def build_mesh(config: MeshConfig | None = None) -> Mesh:

@@ -76,13 +76,18 @@ class MicroBatcher:
         self._tls = threading.local()
         self.window_ms = window_ms
         # Adaptive lone-query fast path: the window only pays off when
-        # followers actually arrive. Track the last drain size — after a
-        # single-query drain (idle traffic), the next leader dispatches
-        # immediately instead of sleeping the window, so a lone query's p50
-        # is one dispatch, not window + dispatch. Under sustained
-        # concurrency the drains are >1 and the window re-engages within
-        # one batch.
+        # followers actually arrive, i.e. when requests OVERLAP in time — a
+        # single sequential client can never coalesce with itself, so it
+        # should never pay the window. The leader sleeps the window when (a)
+        # the previous drain coalesced >1 request, (b) another request is
+        # already pending, or (c) overlapping requests were observed within
+        # the last second (an arrival while another request was in flight —
+        # without this decay term, steady load whose arrivals land just
+        # after each drain would latch the batcher into permanent batch-1
+        # dispatches).
         self._last_drain = 0
+        self._in_flight = 0
+        self._overlap_t = 0.0
         # Objects without the batched internals (e.g. test doubles) pass
         # straight through to their own recommend().
         self._passthrough = not all(
@@ -143,24 +148,36 @@ class MicroBatcher:
         slot = _Slot(query, fetch_k)
 
         with self._lock:
+            if self._in_flight > 0:
+                self._overlap_t = start  # concurrent traffic observed
+            self._in_flight += 1
             self._pending.append(slot)
             is_leader = len(self._pending) == 1
 
-        if is_leader:
+        try:
+            if is_leader:
+                with self._lock:
+                    busy = (
+                        self._last_drain > 1
+                        or len(self._pending) > 1
+                        or (start - self._overlap_t) < 1.0
+                    )
+                if busy:
+                    time.sleep(self._window_s)
+                # One atomic drain: everything that arrived during the window
+                # is this leader's responsibility (chunked to max_batch);
+                # anything arriving after the drain sees an empty queue and
+                # elects itself.
+                with self._lock:
+                    drained, self._pending = self._pending, []
+                    self._last_drain = len(drained)
+                for lo in range(0, len(drained), self._max_batch):
+                    self._process(drained[lo : lo + self._max_batch])
+            elif not slot.event.wait(timeout=_FOLLOWER_TIMEOUT_S + self._window_s):
+                raise TimeoutError("micro-batch leader did not complete in time")
+        finally:
             with self._lock:
-                busy = self._last_drain > 1 or len(self._pending) > 1
-            if busy:
-                time.sleep(self._window_s)
-            # One atomic drain: everything that arrived during the window is
-            # this leader's responsibility (chunked to max_batch); anything
-            # arriving after the drain sees an empty queue and elects itself.
-            with self._lock:
-                drained, self._pending = self._pending, []
-                self._last_drain = len(drained)
-            for lo in range(0, len(drained), self._max_batch):
-                self._process(drained[lo : lo + self._max_batch])
-        elif not slot.event.wait(timeout=_FOLLOWER_TIMEOUT_S + self._window_s):
-            raise TimeoutError("micro-batch leader did not complete in time")
+                self._in_flight -= 1
 
         if slot.error is not None:
             raise slot.error

@@ -505,16 +505,46 @@ class TwoTowerTrainer:
         history: list[dict] = []
 
         if cfg.resume:
-            ckpt = self._find_resume_checkpoint()
-            if ckpt is not None:
-                params, tower_cfg, tokenizer = load_tower(ckpt)
-                opt_state = serialization.from_bytes(
-                    jax.tree.map(np.asarray, opt_state), (ckpt / "opt_state.msgpack").read_bytes()
+            if jax.process_count() > 1:
+                # Only process 0 writes checkpoints (see is_main above), so
+                # on per-host disks only it can FIND one. It reads and
+                # broadcasts the state; every process resumes identically —
+                # without this, non-main hosts would restart at epoch 1 with
+                # fresh params and the replicated state would silently
+                # diverge across the pod.
+                from jax.experimental import multihost_utils
+
+                ckpt = self._find_resume_checkpoint() if is_main else None
+                last_epoch = 0
+                if is_main and ckpt is not None:
+                    state = json.loads((ckpt / "train_state.json").read_text())
+                    last_epoch = int(state["epoch"])
+                last_epoch = int(
+                    multihost_utils.broadcast_one_to_all(np.int32(last_epoch))
                 )
-                state = json.loads((ckpt / "train_state.json").read_text())
-                start_epoch = state["epoch"] + 1
-                history = state.get("history", [])
-                logger.info("Resuming from %s (epoch %d)", ckpt.name, start_epoch)
+                if last_epoch > 0:
+                    if is_main:
+                        params, tower_cfg, tokenizer = load_tower(ckpt)
+                        opt_state = serialization.from_bytes(
+                            jax.tree.map(np.asarray, opt_state),
+                            (ckpt / "opt_state.msgpack").read_bytes(),
+                        )
+                        history = state.get("history", [])
+                    params = multihost_utils.broadcast_one_to_all(params)
+                    opt_state = multihost_utils.broadcast_one_to_all(opt_state)
+                    start_epoch = last_epoch + 1
+                    logger.info("Resuming from epoch %d (broadcast from process 0)", start_epoch)
+            else:
+                ckpt = self._find_resume_checkpoint()
+                if ckpt is not None:
+                    params, tower_cfg, tokenizer = load_tower(ckpt)
+                    opt_state = serialization.from_bytes(
+                        jax.tree.map(np.asarray, opt_state), (ckpt / "opt_state.msgpack").read_bytes()
+                    )
+                    state = json.loads((ckpt / "train_state.json").read_text())
+                    start_epoch = state["epoch"] + 1
+                    history = state.get("history", [])
+                    logger.info("Resuming from %s (epoch %d)", ckpt.name, start_epoch)
 
         logger.info(
             "[4/5] training: %d epochs x %d steps, global batch %d (dp=%d), seq %d",

@@ -104,7 +104,11 @@ def main() -> None:
                 q = jnp_q + (s[0, 0] * 0).astype(jnp_q.dtype)
             np.asarray(s)
             ts.append(time.perf_counter() - t0)
-        return (float(np.median(ts)) - rtt) / reps * 1e3
+        # Clamp: when per-batch compute is within jitter of the RTT floor
+        # (fast local backends), the subtraction can go <= 0 — a negative
+        # ms would turn into a negative/absurd q/s and could even be picked
+        # as the sweep's headline "best".
+        return max((float(np.median(ts)) - rtt) / reps * 1e3, 1e-3)
 
     def recall_ids(index) -> np.ndarray:
         out = []

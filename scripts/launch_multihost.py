@@ -205,9 +205,20 @@ def _run_group(args, n_processes: int, port: int) -> dict:
                 stderr=subprocess.STDOUT,
             )
         )
-    out, _ = procs[0].communicate(timeout=args.timeout)
-    for p in procs[1:]:
-        p.wait(timeout=60)
+    try:
+        out, _ = procs[0].communicate(timeout=args.timeout)
+        for p in procs[1:]:
+            p.wait(timeout=60)
+    except subprocess.TimeoutExpired:
+        # A wedged worker (e.g. a collective rendezvous deadlock) must not
+        # leak N jax processes holding the coordinator port — kill the whole
+        # group before propagating.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            p.wait(timeout=30)
+        raise
     text = out.decode()
     for line in text.splitlines():
         if line.startswith("WORKER_RESULT "):

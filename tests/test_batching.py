@@ -303,3 +303,29 @@ def test_batching_under_sustained_concurrency_exact(rec):
         np.testing.assert_allclose(
             [s for _, s in got], [s for _, s in direct[q]], atol=1e-5
         )
+
+
+def test_steady_load_reengages_window_without_preseed(rec):
+    """Regression: steady overlapping load from independent threads must
+    coalesce WITHOUT pre-seeding internal state. (A drain-size-only
+    heuristic latches into permanent batch-1 dispatches: each arrival finds
+    an empty queue, elects itself leader, and drains alone. The overlap
+    detector — an arrival while another request is in flight — must
+    re-engage the window.)"""
+    spy = _TopkSpy(rec.index)
+    batcher = MicroBatcher(rec, window_ms=40.0)
+    batcher._rec = _RecView(rec, spy)
+
+    stop = time.time() + 3.0
+
+    def client(i):
+        while time.time() < stop:
+            batcher.recommend(f"organic milk {i}", top_k=3)
+            time.sleep(0.001)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert max(spy.batch_sizes) > 1, spy.batch_sizes[:20]

@@ -49,3 +49,89 @@ def test_two_process_train_and_retrieval(tmp_path):
     model_dir = tmp_path / "ws" / "model_np2"
     assert (model_dir / "final").exists()
     assert (model_dir / "eval_history.json").exists()
+
+
+RESUME_WORKER = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 1)
+import sys
+pid, nproc, port, ws, epochs, resume = sys.argv[1:7]
+jax.distributed.initialize(f"127.0.0.1:{{port}}", int(nproc), int(pid))
+sys.path.insert(0, {repo!r})
+from instacart_next_order_recommendation_tpu.train import TrainConfig, TwoTowerTrainer
+cfg = TrainConfig({{
+    "processed_dir": ws + "/processed",
+    "output_dir": ws + "/model",
+    "model_name": ws + "/tiny_tower",
+    "max_seq_length": 32,
+    "epochs": int(epochs),
+    "train_batch_size": 8,
+    "run_information_retrieval_evaluator": False,
+    "logging_steps": 10000,
+    "resume": resume == "1",
+}})
+res = TwoTowerTrainer(cfg).train()
+print("EPOCHS " + ",".join(str(h["epoch"]) for h in res["history"]))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_resume_broadcast(tmp_path):
+    """Multi-host resume: process 0 reads the checkpoint and BROADCASTS the
+    state; both processes continue from epoch 2 (without the broadcast,
+    non-main processes restart at epoch 1 and the replicated state silently
+    diverges)."""
+    import os
+
+    from scripts.launch_multihost import _prepare_workspace
+
+    ws = tmp_path / "ws"
+    ws.mkdir()
+    subprocess.run(
+        [
+            sys.executable, "-c",
+            "import sys; sys.path.insert(0, %r); "
+            "from scripts.launch_multihost import _prepare_workspace; "
+            "from pathlib import Path; _prepare_workspace(Path(%r), 80, 120)"
+            % (str(REPO), str(ws)),
+        ],
+        check=True,
+        timeout=240,
+    )
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run_pair(port, epochs, resume):
+        script = RESUME_WORKER.format(repo=str(REPO))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script, str(pid), "2", str(port), str(ws), str(epochs), resume],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for pid in (0, 1)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=300)
+                outs.append(out)
+                assert p.returncode == 0, out[-2000:]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return outs
+
+    run_pair(8495, 1, "0")  # epoch 1 on both; only process 0 writes
+    assert (ws / "model" / "checkpoint-epoch1").exists()
+    outs = run_pair(8496, 2, "1")  # resume: both must continue at epoch 2
+    # Process 0 carries the restored history (epochs 1,2); non-main resumed
+    # training state via the broadcast but keeps no prior history rows —
+    # both must have trained ONLY epoch 2 in this run (no restart at 1).
+    assert "EPOCHS 1,2" in outs[0], outs[0][-1500:]
+    assert "EPOCHS 2" in outs[1], outs[1][-1500:]
