@@ -34,6 +34,7 @@ import logging
 import os
 import pickle
 import threading
+import zlib
 from pathlib import Path
 
 logger = logging.getLogger(__name__)
@@ -101,7 +102,12 @@ class AotStore:
         from jax.experimental import serialize_executable as se
 
         try:
-            payload, in_tree, out_tree = pickle.loads(path.read_bytes())
+            raw = path.read_bytes()
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                pass  # pre-compression artifact (stores written before v2.1)
+            payload, in_tree, out_tree = pickle.loads(raw)
             # Serve programs are single-device; pin execution to the default
             # device (on multi-device hosts the loader would otherwise expect
             # one arg shard per local device).
@@ -125,7 +131,12 @@ class AotStore:
             tmp = self._path(key).with_suffix(
                 f".tmp-{os.getpid()}-{threading.get_ident()}"
             )
-            tmp.write_bytes(pickle.dumps((payload, in_tree, out_tree)))
+            # Compressed: serialized executables shrink ~2-3x, and store
+            # size is the cold-start floor when artifacts travel over a
+            # slow link (baked images, repo-shipped bench artifacts).
+            tmp.write_bytes(
+                zlib.compress(pickle.dumps((payload, in_tree, out_tree)), 6)
+            )
             tmp.replace(self._path(key))
             logger.info("Exported AOT serve executable %s", self._path(key).name)
         except Exception:
