@@ -33,6 +33,7 @@ class ShardedCatalogIndex:
         embeddings: np.ndarray,
         mesh: Mesh | None = None,
         dtype: str = "float32",
+        extraction: str = "exact",
     ):
         """Args:
         embeddings: [N, D] float32 unit-norm catalog matrix (host).
@@ -41,8 +42,17 @@ class ShardedCatalogIndex:
             footprint and read bandwidth (the retrieval bottleneck) at the
             cost of ~3 decimal digits of score precision — rankings can swap
             only between near-tied candidates. Scores still accumulate in f32.
+        extraction: ``"exact"`` (default contract — identical to the
+            reference's full argsort) or ``"packed"`` — the ~2x-fewer-passes
+            packed kernel for >=1M-row catalogs where per-candidate
+            extraction dominates; scores compare at 20-bit precision, so
+            near-tied candidates may swap and returned scores are quantized
+            (~3 decimal digits).
         """
+        if extraction not in ("exact", "packed"):
+            raise ValueError(f"extraction must be 'exact' or 'packed', got {extraction!r}")
         self.mesh = mesh
+        self.packed = extraction == "packed"
         self.dtype = jnp.dtype(dtype)
         self.n_total = embeddings.shape[0]
         self.dim = embeddings.shape[1]
@@ -70,6 +80,7 @@ class ShardedCatalogIndex:
             from instacart_next_order_recommendation_tpu.serve.aot import AotStore
 
             n_valid = self.n_total
+            packed = self.packed
             aot = AotStore.from_env()
 
             @jax.jit
@@ -80,6 +91,7 @@ class ShardedCatalogIndex:
                     k,
                     n_valid=n_valid,
                     candidate_mask=mask,
+                    packed=packed,
                 )
 
             if aot is None:
@@ -89,6 +101,7 @@ class ShardedCatalogIndex:
                 key = (
                     f"topk_k{k}_b{queries.shape[0]}_n{catalog.shape[0]}"
                     f"_d{catalog.shape[1]}_{catalog.dtype}_mask{int(mask is not None)}"
+                    + ("_pk1" if packed else "")
                 )
                 args = (queries, catalog) + ((mask,) if mask is not None else ())
                 return aot.run(key, topk_fn, args)
@@ -98,6 +111,7 @@ class ShardedCatalogIndex:
         mesh = self.mesh
         shard_rows = self.shard_rows
         n_total = self.n_total
+        packed = self.packed
 
         def local_topk(queries, catalog_shard, mask_shard=None):
             # queries replicated; catalog_shard [shard_rows, D] local block.
@@ -112,6 +126,7 @@ class ShardedCatalogIndex:
                 n_valid=n_valid,
                 local=True,
                 candidate_mask=mask_shard,
+                packed=packed,
             )
             i = i + start
             # Gather candidates from every shard: [dp, B, k_local].

@@ -567,3 +567,98 @@ class TestFusedEncoderLayer:
                 np.asarray(gf[1][name]), np.asarray(gr[1][name]),
                 atol=5e-3, rtol=1e-3, err_msg=f"grad mismatch for {name}",
             )
+
+
+class TestPackedExtraction:
+    """Opt-in packed-extraction top-k kernel (ops/topk.py, extraction="packed")."""
+
+    def test_distinct_scores_match_exact(self, rng):
+        """With scores separated by more than the 20-bit quantization step,
+        packed extraction must reproduce the exact kernel's output
+        (indices identical; scores within one quantization ulp)."""
+        n, d, b, k = 1000, 64, 4, 10
+        # Catalog whose query-0 scores are a shuffled linspace (spacing 1e-3
+        # >> the ~2.4e-4 quantization step at these magnitudes).
+        c = np.zeros((n, d), np.float32)
+        vals = np.linspace(0.1, 0.9, n).astype(np.float32)
+        rng.shuffle(vals)
+        c[:, 0] = vals
+        c[:, 1] = np.sqrt(1 - vals**2)
+        q = np.zeros((b, d), np.float32)
+        q[:, 0] = 1.0
+        ref_s, ref_i = cosine_topk_reference(jnp.asarray(q), jnp.asarray(c), k)
+        out_s, out_i = cosine_topk_pallas(
+            jnp.asarray(q), jnp.asarray(c), k, block_n=128, interpret=True, packed=True
+        )
+        np.testing.assert_array_equal(np.asarray(out_i), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s), rtol=5e-4)
+
+    def test_random_scores_close_to_exact(self, rng):
+        """Random unit embeddings: packed results agree with the oracle up
+        to quantization — scores within 5e-4 relative, and the candidate
+        sets differ only where the oracle's k-boundary scores tie within
+        the quantization step."""
+        n, d, b, k = 3000, 96, 8, 10
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        ref_s, ref_i = cosine_topk_reference(jnp.asarray(q), jnp.asarray(c), k)
+        out_s, out_i = cosine_topk_pallas(
+            jnp.asarray(q), jnp.asarray(c), k, block_n=256, interpret=True, packed=True
+        )
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s), atol=5e-4)
+        for row in range(b):
+            exact_set = set(np.asarray(ref_i)[row].tolist())
+            got_set = set(np.asarray(out_i)[row].tolist())
+            diff = exact_set ^ got_set
+            # Any swapped candidate must be a boundary tie within quantization.
+            if diff:
+                boundary = np.asarray(ref_s)[row, -1]
+                scores = (q[row : row + 1] @ c.T)[0]
+                for idx in diff:
+                    assert abs(scores[idx] - boundary) < 5e-4, (row, idx)
+
+    def test_negative_scores_and_mask(self, rng):
+        """Order-preserving transform must be correct across the sign
+        boundary, and masked-out rows must never surface."""
+        n, d, b, k = 400, 32, 3, 8
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        mask = (rng.random(n) < 0.5).astype(np.int32)
+        ref_s, ref_i = cosine_topk_reference(
+            jnp.asarray(q), jnp.asarray(c), k, candidate_mask=jnp.asarray(mask)
+        )
+        out_s, out_i = cosine_topk_pallas(
+            jnp.asarray(q), jnp.asarray(c), k, block_n=128, interpret=True,
+            packed=True, candidate_mask=jnp.asarray(mask),
+        )
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s), atol=5e-4)
+        assert all(mask[i] == 1 for i in np.asarray(out_i).ravel())
+
+    def test_sharded_index_packed_option(self, rng):
+        """ShardedCatalogIndex(extraction='packed') end-to-end on the mesh."""
+        from instacart_next_order_recommendation_tpu.index import ShardedCatalogIndex
+        from instacart_next_order_recommendation_tpu.parallel import MeshConfig, build_mesh
+
+        n, d = 500, 64
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = c[:5] + 0.01 * rng.standard_normal((5, d)).astype(np.float32)
+        mesh = build_mesh(MeshConfig())
+        exact = ShardedCatalogIndex(c, mesh=mesh)
+        packed = ShardedCatalogIndex(c, mesh=mesh, extraction="packed")
+        s_e, i_e = exact.topk(q, 5)
+        s_p, i_p = packed.topk(q, 5)
+        # On CPU both fall back to the dense path (packed ignored) — this
+        # asserts the option plumbs through without changing results there.
+        np.testing.assert_allclose(s_p, s_e, atol=5e-4)
+        assert (i_p[:, 0] == i_e[:, 0]).all()
+
+    def test_extraction_arg_validated(self):
+        from instacart_next_order_recommendation_tpu.index import ShardedCatalogIndex
+
+        with pytest.raises(ValueError, match="extraction"):
+            ShardedCatalogIndex(np.eye(4, dtype=np.float32), extraction="fast")
