@@ -337,7 +337,16 @@ def cosine_topk(
     # mesh the sharded index (index/sharded.py) calls this with local=True
     # inside shard_map instead.
     pallas_ok = use_pallas() and (local or _jax.device_count() == 1)
-    if pallas_ok and k <= DEFAULT_BLOCK_N:
+    use_blocked = pallas_ok and k <= DEFAULT_BLOCK_N
+    if use_blocked and k > 32 and queries.shape[0] * catalog.shape[0] * 4 <= (2 << 30):
+        # Measured crossover (v5e, 50k-1M rows): the blocked kernel's
+        # per-candidate extraction is linear in k while the dense
+        # scores+lax.top_k path is k-flat — beyond k~32 dense wins at every
+        # catalog size whose [B, N] f32 score matrix fits on device
+        # (1.15-1.6x at k=64-256). Blocked keeps the small-k serve buckets
+        # (where it wins at batch) and anything too big to materialize.
+        use_blocked = False
+    if use_blocked:
         return cosine_topk_pallas(
             queries,
             catalog,

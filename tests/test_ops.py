@@ -662,3 +662,20 @@ class TestPackedExtraction:
 
         with pytest.raises(ValueError, match="extraction"):
             ShardedCatalogIndex(np.eye(4, dtype=np.float32), extraction="fast")
+
+
+def test_large_k_dispatch_stays_exact(rng):
+    """k > 32 routes to the dense path (measured k-flat vs the blocked
+    kernel's k-linear extraction); results must stay exact regardless of
+    which path serves the request."""
+    from instacart_next_order_recommendation_tpu.ops.topk import cosine_topk
+
+    n, d, b = 2000, 64, 16
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    for k in (33, 100, 256):
+        s, i = cosine_topk(jnp.asarray(q), jnp.asarray(c), k)
+        ref_s, ref_i = cosine_topk_reference(jnp.asarray(q), jnp.asarray(c), k)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), atol=1e-6)
