@@ -103,6 +103,18 @@ def main() -> None:
     rng = np.random.default_rng(0)
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
+    # Only export AOT executables by default when this device/JAX build's
+    # fingerprint directory already ships in artifacts/ — a bench run on a
+    # different machine must not grow the working tree with a parallel set
+    # of fingerprint-namespaced executables. Explicit ITOR_AOT_EXPORT wins.
+    if _DEFAULTED_AOT_EXPORT:
+        from instacart_next_order_recommendation_tpu.serve.aot import AotStore
+
+        fp_dir = AotStore(_ARTIFACTS / "aot").root
+        if not fp_dir.exists():
+            os.environ["ITOR_AOT_EXPORT"] = "0"
+            log(f"AOT export off (no shipped store for this fingerprint: {fp_dir.name})")
+
     # --- build model + catalog ------------------------------------------------
     t0 = time.time()
     catalog_texts = build_catalog_texts(CATALOG_SIZE, rng)

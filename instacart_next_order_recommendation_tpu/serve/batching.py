@@ -79,13 +79,17 @@ class MicroBatcher:
         # followers actually arrive, i.e. when requests OVERLAP in time — a
         # single sequential client can never coalesce with itself, so it
         # should never pay the window. The leader sleeps the window when (a)
-        # the previous drain coalesced >1 request, (b) another request is
-        # already pending, or (c) overlapping requests were observed within
-        # the last second (an arrival while another request was in flight —
-        # without this decay term, steady load whose arrivals land just
-        # after each drain would latch the batcher into permanent batch-1
-        # dispatches).
+        # the previous drain coalesced >1 request AND did so recently, (b)
+        # another request is already pending, or (c) overlapping requests
+        # were observed within the last second (an arrival while another
+        # request was in flight — without this decay term, steady load whose
+        # arrivals land just after each drain would latch the batcher into
+        # permanent batch-1 dispatches). Signal (a) decays by time like (c):
+        # a burst followed by full idleness must not charge the next lone
+        # query a window — after ~1 s without a drain, the last drain size is
+        # stale evidence about current traffic.
         self._last_drain = 0
+        self._last_drain_t = 0.0
         self._in_flight = 0
         self._overlap_t = 0.0
         # Objects without the batched internals (e.g. test doubles) pass
@@ -158,7 +162,7 @@ class MicroBatcher:
             if is_leader:
                 with self._lock:
                     busy = (
-                        self._last_drain > 1
+                        (self._last_drain > 1 and (start - self._last_drain_t) < 1.0)
                         or len(self._pending) > 1
                         or (start - self._overlap_t) < 1.0
                     )
@@ -171,6 +175,7 @@ class MicroBatcher:
                 with self._lock:
                     drained, self._pending = self._pending, []
                     self._last_drain = len(drained)
+                    self._last_drain_t = time.time()
                 for lo in range(0, len(drained), self._max_batch):
                     self._process(drained[lo : lo + self._max_batch])
             elif not slot.event.wait(timeout=_FOLLOWER_TIMEOUT_S + self._window_s):

@@ -84,6 +84,20 @@ _PRESETS = {"minilm-l6": MINILM_L6, "mpnet-base": MPNET_BASE_CLASS}
 BEST_METRIC = "ndcg_at_10"  # reference selects by cosine_ndcg@10 (:219-220)
 
 
+def _tower_digest(tower_cfg, tokenizer) -> bytes:
+    """sha256 over (architecture config, vocab, pad id): the inputs that must
+    be bit-identical across processes for multi-host training to be sane."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(json.dumps(tower_cfg.to_dict(), sort_keys=True).encode())
+    if tokenizer is not None:
+        for token, idx in sorted(tokenizer.vocab.items(), key=lambda kv: kv[1]):
+            h.update(f"{idx}:{token}\n".encode())
+        h.update(str(tokenizer.pad_id).encode())
+    return h.digest()
+
+
 class TrainConfig:
     """Typed training configuration (same YAML keys as the reference plus
     TPU-native extensions: model preset/warm-start dir, vocab size, mesh)."""
@@ -532,6 +546,26 @@ class TwoTowerTrainer:
                         history = state.get("history", [])
                     params = multihost_utils.broadcast_one_to_all(params)
                     opt_state = multihost_utils.broadcast_one_to_all(opt_state)
+                    # Params/opt_state are broadcast, but tokenizer/tower_cfg
+                    # are NOT: process 0 now holds the checkpoint's while
+                    # every other process keeps the freshly built ones. If
+                    # they differ (config edited between runs, vocab rebuilt
+                    # differently), pad_id/tokenization silently diverge
+                    # across the pod — fail loudly instead by asserting a
+                    # digest of (tower_cfg, vocab, pad_id) matches process 0.
+                    digest = _tower_digest(tower_cfg, tokenizer)
+                    main_digest = bytes(
+                        multihost_utils.broadcast_one_to_all(
+                            np.frombuffer(digest, dtype=np.uint8)
+                        )
+                    )
+                    if digest != main_digest:
+                        raise RuntimeError(
+                            "Resume mismatch: this process's tokenizer/tower "
+                            "config differs from the checkpoint's on process 0 "
+                            "(config or vocab changed between runs). Restart "
+                            "without --resume or restore matching inputs."
+                        )
                     start_epoch = last_epoch + 1
                     logger.info("Resuming from epoch %d (broadcast from process 0)", start_epoch)
             else:

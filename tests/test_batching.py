@@ -50,6 +50,7 @@ def test_concurrent_requests_coalesce(rec):
     # Put the batcher in its loaded regime (the adaptive fast path skips the
     # window after single-query drains; sustained concurrency re-engages it).
     batcher._last_drain = 2
+    batcher._last_drain_t = time.time()  # recent: stale drains decay
 
     queries = [f"organic milk {i % 4}" for i in range(8)]
     results: dict[int, list] = {}
@@ -260,12 +261,27 @@ def test_lone_query_skips_window(rec):
     assert elapsed < 0.2, f"lone query paid the window: {elapsed*1e3:.0f} ms"
 
 
+def test_lone_query_after_idle_gap_skips_window(rec):
+    """A burst followed by idleness must not charge the next lone query a
+    window: the last-drain-coalesced signal decays by time (~1 s), exactly
+    like the overlap signal."""
+    batcher = MicroBatcher(rec, window_ms=400.0)
+    batcher._last_drain = 8  # a burst coalesced...
+    batcher._last_drain_t = time.time() - 5.0  # ...but 5 s ago (idle since)
+    t0 = time.time()
+    out = batcher.recommend("organic bread", top_k=3)
+    elapsed = time.time() - t0
+    assert out == rec.recommend("organic bread", top_k=3)
+    assert elapsed < 0.2, f"stale drain signal charged the window: {elapsed*1e3:.0f} ms"
+
+
 def test_window_reengages_under_concurrency(rec):
     """After a coalesced drain the window stays on: bursts keep batching."""
     spy = _TopkSpy(rec.index)
     batcher = MicroBatcher(rec, window_ms=60.0)
     batcher._rec = _RecView(rec, spy)
     batcher._last_drain = 2
+    batcher._last_drain_t = time.time()  # recent drain: stale ones decay (see below)
 
     def burst(n):
         threads = [
