@@ -29,11 +29,16 @@ import numpy as np
 # without the multi-minute remote-compile wall — the serving-image recipe
 # (serve/aot.py) applied to the bench itself. Explicit env always wins;
 # a device/JAX mismatch is a clean miss that falls back to compiling.
+# Applied only when RUN as the bench (__main__ below) — importing this
+# module for its workload builders must not mutate the process env.
 _ARTIFACTS = Path(__file__).resolve().parent / "artifacts"
 _DEFAULTED_AOT_EXPORT = "ITOR_AOT_EXPORT" not in os.environ
-os.environ.setdefault("ITOR_COMPILATION_CACHE", str(_ARTIFACTS / "xla_cache"))
-os.environ.setdefault("ITOR_AOT_DIR", str(_ARTIFACTS / "aot"))
-os.environ.setdefault("ITOR_AOT_EXPORT", "1")
+
+
+def _pin_repo_artifacts() -> None:
+    os.environ.setdefault("ITOR_COMPILATION_CACHE", str(_ARTIFACTS / "xla_cache"))
+    os.environ.setdefault("ITOR_AOT_DIR", str(_ARTIFACTS / "aot"))
+    os.environ.setdefault("ITOR_AOT_EXPORT", "1")
 
 REFERENCE_QPS = 1000.0 / 119.9  # reference end-to-end serve latency
 CATALOG_SIZE = 50_000
@@ -141,6 +146,7 @@ def main() -> None:
     # a warm machine this whole phase is a few seconds of cache hits.
     sorted_queries = sorted(query_texts, key=len)  # see serve section below
     serve_shapes = {(1, 256)}  # single-query latency section
+    serve_shape_counts: dict[tuple, int] = {}  # workload mix, for device-side q/s
     for lo in range(0, N_QUERIES, SERVE_BATCH):
         wids, _ = tokenizer.encode_batch(
             sorted_queries[lo : lo + SERVE_BATCH],
@@ -148,6 +154,7 @@ def main() -> None:
             pad_batch_to=SERVE_BATCH,
         )
         serve_shapes.add(wids.shape)
+        serve_shape_counts[wids.shape] = serve_shape_counts.get(wids.shape, 0) + 1
     # Dummy-catalog pipeline: compiled programs depend only on shapes, and the
     # real pipeline's identical programs resolve via the persistent cache.
     warm_pipeline = FusedServePipeline(
@@ -218,6 +225,24 @@ def main() -> None:
     ex.shutdown(wait=False, cancel_futures=True)
     log(f"warm-up compiles: {time.time() - t0:.1f}s ({len(jobs)} programs)")
 
+    # --- tunnel RTT floor -----------------------------------------------------
+    # One trivial dispatch+readback, repeated: the floor every e2e number
+    # below pays per round trip. Naive block_until_ready timing lies through
+    # this environment's tunnel (returns early), but a tiny f(x)=x+1 with a
+    # host readback is a true round trip. Recording it makes the headline
+    # attributable: if e2e q/s moves while the device-side number (below)
+    # holds, the tunnel moved, not the serve path.
+    f_nop = jax.jit(lambda x: x + 1.0)
+    x0 = jnp.zeros(())
+    float(f_nop(x0))  # compile
+    rtts = []
+    for _ in range(15):
+        t0 = time.time()
+        float(f_nop(x0))
+        rtts.append(time.time() - t0)
+    rtt_s = float(np.median(rtts))
+    log(f"tunnel dispatch+readback RTT floor: {rtt_s*1e3:.2f} ms")
+
     # --- catalog encode (index build) ----------------------------------------
     # Device-resident build: embeddings never cross the wire — the index
     # consumes them on device (encode_resident). Shape bucket warmed above.
@@ -258,7 +283,7 @@ def main() -> None:
     # 20%+ — measure three passes and report the median.
     passes = []
     with ThreadPoolExecutor(8) as ex:
-        for p in range(3):
+        for p in range(5):
             t0 = time.time()
             results = list(ex.map(serve_batch, range(0, N_QUERIES, SERVE_BATCH)))
             elapsed = time.time() - t0
@@ -267,7 +292,46 @@ def main() -> None:
             log(f"pass {p + 1}: served {n_served} queries in {elapsed:.2f}s -> {passes[-1]:.0f} q/s")
             del results
     qps = float(np.median(passes))
-    log(f"median of {len(passes)} passes: {qps:.0f} q/s")
+    spread_pct = 100.0 * (max(passes) - min(passes)) / qps
+    log(f"median of {len(passes)} passes: {qps:.0f} q/s (spread {spread_pct:.1f}%)")
+
+    # --- device-side serve throughput (tunnel-invariant) ----------------------
+    # The e2e number above rides the tunnel: host tokenization, upload,
+    # readback, thread scheduling. This section times the chip alone on the
+    # SAME workload mix — R data-dependent dispatches of the fused program
+    # per seq bucket, one readback, minus the RTT floor — then weights each
+    # bucket's per-batch time by its frequency in the 8192-query workload.
+    # If this number is stable across rounds, any e2e drift is tunnel/host
+    # state, not a serve-path regression.
+    R_CHAIN = 8
+    device_s_total = 0.0
+    bucket_ms: dict[str, float] = {}
+    for (b, s), n_batches in sorted(serve_shape_counts.items()):
+        ids_np = np.zeros((b, s), np.int16)
+        ids_np[:, : max(4, s // 2)] = 7
+        ids0 = jnp.asarray(ids_np)
+        run_fn = fused._fn(TOP_K)
+
+        def chain_once(_run=run_fn, _ids=ids0):
+            c = jnp.zeros((), jnp.int32)
+            t0 = time.time()
+            for _ in range(R_CHAIN):
+                packed = _run(params, _ids + (jnp.abs(c) % 2).astype(_ids.dtype), fused.catalog)
+                c = packed[0, 0]
+            int(c)  # one readback fences the whole chain
+            return time.time() - t0
+
+        chain_once()  # warm (program already compiled in warm-up; prime caches)
+        per_batch_s = max(
+            1e-9, (min(chain_once() for _ in range(3)) - rtt_s) / R_CHAIN
+        )
+        bucket_ms[f"{b}x{s}"] = round(per_batch_s * 1e3, 3)
+        device_s_total += n_batches * per_batch_s
+    device_qps = N_QUERIES / device_s_total if device_s_total > 0 else 0.0
+    log(
+        f"device-side serve throughput: {device_qps:.0f} q/s "
+        f"(per-batch ms by bucket: {bucket_ms})"
+    )
 
     # --- single-query latency -------------------------------------------------
     # (a) end-to-end from text (includes host<->device round trips — on
@@ -275,7 +339,7 @@ def main() -> None:
     ids1, mask1 = tokenizer.encode_batch(query_texts[:1], max_seq_length=256, pad_to=256)
     fused.topk(ids1, mask1, TOP_K)  # warm batch-1 fused program
     lat = []
-    for i in range(30):
+    for i in range(100):
         t0 = time.time()
         ids1, mask1 = tokenizer.encode_batch(
             query_texts[i : i + 1], max_seq_length=256, pad_to=256
@@ -283,7 +347,12 @@ def main() -> None:
         fused.topk(ids1, mask1, TOP_K)
         lat.append(time.time() - t0)
     p50_ms = float(np.median(lat) * 1000)
-    log(f"single-query e2e p50 latency: {p50_ms:.2f} ms")
+    p95_ms = float(np.percentile(lat, 95) * 1000)
+    p99_ms = float(np.percentile(lat, 99) * 1000)
+    log(
+        f"single-query e2e latency: p50 {p50_ms:.2f} ms, "
+        f"p95 {p95_ms:.2f} ms, p99 {p99_ms:.2f} ms"
+    )
 
     # (b) device-side latency with resident inputs (the chip's actual cost).
 
@@ -313,8 +382,20 @@ def main() -> None:
             "top_k": TOP_K,
             "serve_batch": SERVE_BATCH,
             "single_query_p50_ms": round(p50_ms, 2),
+            "single_query_p95_ms": round(p95_ms, 2),
+            "single_query_p99_ms": round(p99_ms, 2),
             "single_query_device_p50_ms": round(device_p50_ms, 2),
             "catalog_encode_products_per_sec": round(CATALOG_SIZE / catalog_encode_s, 1),
+            # Attribution block: device_qps is tunnel-invariant (chained
+            # dispatch minus RTT floor on the same workload mix). If it holds
+            # while the e2e headline moves, the tunnel/host moved, not the
+            # serve path.
+            "device_qps": round(device_qps, 1),
+            "device_ms_per_batch_by_bucket": bucket_ms,
+            "tunnel_rtt_ms": round(rtt_s * 1e3, 2),
+            "passes_qps": [round(p, 1) for p in passes],
+            "pass_spread_pct": round(spread_pct, 1),
+            "straggling_warmup": straggling_warmup,
             "baseline_qps": round(REFERENCE_QPS, 2),
             "baseline_source": "reference README.md:433-441 (119.9 ms/query)",
         },
@@ -331,6 +412,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    _pin_repo_artifacts()
     if "--ivf" in sys.argv:
         # IVF ANN sweep at a 1M-product catalog (recall@10-vs-exact + q/s);
         # the exact scan above stays the headline metric and default. The

@@ -25,6 +25,13 @@ ENV_CORPUS_HF_REPO_TYPE = "CORPUS_HF_REPO_TYPE"
 ENV_INFERENCE_DEVICE = "INFERENCE_DEVICE"
 # Micro-batching window for /recommend (milliseconds; 0/unset = off).
 ENV_BATCH_WINDOW_MS = "BATCH_WINDOW_MS"
+# Top-k extraction mode: "exact" (default) or "packed" (the ~20-bit packed
+# score+index kernel for >=1M-row catalogs; scores quantized to ~3 decimal
+# digits). Operator-flippable without source edits; also an inference.yaml key.
+ENV_TOPK_EXTRACTION = "ITOR_TOPK_EXTRACTION"
+# Top-k kernel dispatch override: "auto" (measured k~32 crossover, default),
+# "blocked" (force the Pallas blocked kernel), "dense" (force scores+lax.top_k).
+ENV_TOPK_DISPATCH = "ITOR_TOPK_DISPATCH"
 
 # Config files (YAML)
 CONFIG_DIR = PROJECT_ROOT / "configs"

@@ -98,10 +98,14 @@ class ShardedCatalogIndex:
                 return topk_fn
 
             def aot_topk(queries, catalog, mask=None):
+                from instacart_next_order_recommendation_tpu.ops.topk import (
+                    topk_cache_suffix,
+                )
+
                 key = (
                     f"topk_k{k}_b{queries.shape[0]}_n{catalog.shape[0]}"
                     f"_d{catalog.shape[1]}_{catalog.dtype}_mask{int(mask is not None)}"
-                    + ("_pk1" if packed else "")
+                    + topk_cache_suffix(packed)
                 )
                 args = (queries, catalog) + ((mask,) if mask is not None else ())
                 return aot.run(key, topk_fn, args)

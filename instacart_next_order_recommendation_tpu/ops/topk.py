@@ -32,6 +32,18 @@ _NEG_INF = -1e30
 DEFAULT_BLOCK_N = 2048
 
 
+def topk_cache_suffix(packed: bool = False) -> str:
+    """Suffix for AOT-store keys of programs containing a ``cosine_topk``:
+    pins everything that changes the compiled program beyond shapes — the
+    packed-extraction opt-in and a non-default dispatch override. Without
+    this, flipping ITOR_TOPK_DISPATCH would silently load an executable
+    compiled for the other path."""
+    import os
+
+    mode = (os.getenv("ITOR_TOPK_DISPATCH") or "auto").strip().lower()
+    return ("_pk1" if packed else "") + ("" if mode == "auto" else f"_disp-{mode}")
+
+
 def cosine_topk_reference(
     queries: jax.Array,
     catalog: jax.Array,
@@ -329,6 +341,8 @@ def cosine_topk(
     the faster 20-bit packed-extraction kernel (see cosine_topk_pallas);
     ignored on the non-Pallas fallback, which stays exact.
     """
+    import os as _os
+
     import jax as _jax
 
     from instacart_next_order_recommendation_tpu.ops import pallas_interpret, use_pallas
@@ -338,14 +352,23 @@ def cosine_topk(
     # inside shard_map instead.
     pallas_ok = use_pallas() and (local or _jax.device_count() == 1)
     use_blocked = pallas_ok and k <= DEFAULT_BLOCK_N
-    if use_blocked and k > 32 and queries.shape[0] * catalog.shape[0] * 4 <= (2 << 30):
-        # Measured crossover (v5e, 50k-1M rows): the blocked kernel's
-        # per-candidate extraction is linear in k while the dense
-        # scores+lax.top_k path is k-flat — beyond k~32 dense wins at every
-        # catalog size whose [B, N] f32 score matrix fits on device
-        # (1.15-1.6x at k=64-256). Blocked keeps the small-k serve buckets
-        # (where it wins at batch) and anything too big to materialize.
+    # Operator override for the blocked-vs-dense choice (read at trace time;
+    # constants.ENV_TOPK_DISPATCH): "blocked"/"dense" pin the path — within
+    # structural limits (blocked needs Pallas and k <= block size) — and
+    # "auto" keeps the measured crossover below. Primarily for A/B benching
+    # and for deployments whose catalog/k mix sits near the crossover.
+    dispatch = (_os.getenv("ITOR_TOPK_DISPATCH") or "auto").strip().lower()
+    if dispatch == "dense":
         use_blocked = False
+    elif dispatch != "blocked":
+        if use_blocked and k > 32 and queries.shape[0] * catalog.shape[0] * 4 <= (2 << 30):
+            # Measured crossover (v5e, 50k-1M rows): the blocked kernel's
+            # per-candidate extraction is linear in k while the dense
+            # scores+lax.top_k path is k-flat — beyond k~32 dense wins at every
+            # catalog size whose [B, N] f32 score matrix fits on device
+            # (1.15-1.6x at k=64-256). Blocked keeps the small-k serve buckets
+            # (where it wins at batch) and anything too big to materialize.
+            use_blocked = False
     if use_blocked:
         return cosine_topk_pallas(
             queries,

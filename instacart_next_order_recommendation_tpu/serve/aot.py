@@ -94,6 +94,50 @@ class AotStore:
     def _path(self, key: str) -> Path:
         return self.root / f"{key}{_SUFFIX}"
 
+    # ------------------------------------------------------------- lifecycle
+
+    def report(self) -> dict:
+        """Store size report: executables + bytes per fingerprint dir.
+
+        The store namespaces by device/JAX-version fingerprint, so baked
+        images and repo-shipped artifact dirs accrete dead executables each
+        time the toolchain moves — this (with :meth:`prune_stale`) keeps the
+        store inspectable and boundable.
+        """
+        base = self.root.parent
+        dirs: dict[str, dict] = {}
+        if base.exists():
+            for d in sorted(p for p in base.iterdir() if p.is_dir()):
+                files = list(d.glob(f"*{_SUFFIX}"))
+                dirs[d.name] = {
+                    "executables": len(files),
+                    "bytes": sum(f.stat().st_size for f in files),
+                    "current": d == self.root,
+                }
+        return {"current": self.root.name, "dirs": dirs}
+
+    def prune_stale(self, dry_run: bool = False) -> list[str]:
+        """Delete fingerprint dirs for OTHER device/JAX builds than this one.
+
+        Only directories under the store root are touched; the current
+        fingerprint's executables are never removed. Returns the pruned
+        directory names (candidates only, when ``dry_run``).
+        """
+        import shutil
+
+        base = self.root.parent
+        pruned: list[str] = []
+        if not base.exists():
+            return pruned
+        for d in sorted(p for p in base.iterdir() if p.is_dir()):
+            if d == self.root:
+                continue
+            pruned.append(d.name)
+            if not dry_run:
+                shutil.rmtree(d)
+                logger.info("Pruned stale AOT store dir %s", d.name)
+        return pruned
+
     def _load(self, key: str):
         path = self._path(key)
         if not path.exists():

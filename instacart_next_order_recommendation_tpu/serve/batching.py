@@ -90,6 +90,13 @@ class MicroBatcher:
         # stale evidence about current traffic.
         self._last_drain = 0
         self._last_drain_t = 0.0
+        # Observability (read by the soak bench and /metrics): how often the
+        # leader paid the window vs dispatched immediately, and the drain
+        # size histogram — the evidence that the adaptive heuristic neither
+        # latches into permanent batch-1 under load nor charges idle traffic
+        # permanent windows.
+        self.decision_counts = {"windowed": 0, "immediate": 0}
+        self.drain_sizes: dict[int, int] = {}
         self._in_flight = 0
         self._overlap_t = 0.0
         # Objects without the batched internals (e.g. test doubles) pass
@@ -166,6 +173,7 @@ class MicroBatcher:
                         or len(self._pending) > 1
                         or (start - self._overlap_t) < 1.0
                     )
+                    self.decision_counts["windowed" if busy else "immediate"] += 1
                 if busy:
                     time.sleep(self._window_s)
                 # One atomic drain: everything that arrived during the window
@@ -176,6 +184,8 @@ class MicroBatcher:
                     drained, self._pending = self._pending, []
                     self._last_drain = len(drained)
                     self._last_drain_t = time.time()
+                    n = len(drained)
+                    self.drain_sizes[n] = self.drain_sizes.get(n, 0) + 1
                 for lo in range(0, len(drained), self._max_batch):
                     self._process(drained[lo : lo + self._max_batch])
             elif not slot.event.wait(timeout=_FOLLOWER_TIMEOUT_S + self._window_s):

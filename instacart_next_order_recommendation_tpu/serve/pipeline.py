@@ -29,7 +29,13 @@ class FusedServePipeline:
     """One-dispatch ids -> (scores, indices) over a resident catalog."""
 
     def __init__(
-        self, params, config: TowerConfig, catalog: jax.Array, n_valid: int, pad_id: int = 0
+        self,
+        params,
+        config: TowerConfig,
+        catalog: jax.Array,
+        n_valid: int,
+        pad_id: int = 0,
+        packed: bool = False,
     ):
         from instacart_next_order_recommendation_tpu.serve.aot import AotStore
 
@@ -38,6 +44,9 @@ class FusedServePipeline:
         self.catalog = catalog
         self.n_valid = n_valid
         self.pad_id = pad_id
+        # Packed-extraction top-k (ops/topk.py): opt-in for huge catalogs;
+        # scores come back quantized to ~3 decimal digits.
+        self.packed = packed
         self.wire_dtype = (
             np.int16 if config.vocab_size <= np.iinfo(np.int16).max else np.int32
         )
@@ -47,11 +56,12 @@ class FusedServePipeline:
     def _fn(self, k: int):
         if k not in self._jitted:
             config, n_valid, pad_id = self.config, self.n_valid, self.pad_id
+            packed = self.packed
 
             @jax.jit
             def run(params, ids, catalog):
                 emb = encode_from_ids(params, ids, config=config, pad_id=pad_id)
-                s, i = cosine_topk(emb, catalog, k, n_valid=n_valid)
+                s, i = cosine_topk(emb, catalog, k, n_valid=n_valid, packed=packed)
                 # Pack scores + indices into ONE [B, 2k] array so the host
                 # fetches a single transfer (each device->host round trip
                 # costs real latency on tunneled setups). Pack in INT space:
@@ -82,12 +92,17 @@ class FusedServePipeline:
             # collision would deserialize an executable whose arg shapes
             # don't match (runtime crash) or, worse for pad_id, run silently
             # with wrong attention masks.
+            from instacart_next_order_recommendation_tpu.ops.topk import (
+                topk_cache_suffix,
+            )
+
             key = (
                 f"fused_{c.num_layers}x{c.hidden_size}h{c.num_heads}"
                 f"i{c.intermediate_size}v{c.vocab_size}_p{self.pad_id}"
                 f"_{np.dtype(self.wire_dtype).name}_k{k}"
                 f"_b{ids.shape[0]}_s{ids.shape[1]}"
                 f"_n{self.catalog.shape[0]}_{self.catalog.dtype}"
+                + topk_cache_suffix(self.packed)
             )
             return self._aot.run(key, self._fn(k), args), k
         return self._fn(k)(*args), k

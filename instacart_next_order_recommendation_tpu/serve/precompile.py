@@ -174,6 +174,12 @@ def main() -> None:
         "(serve/aot.py); a server started with ITOR_AOT_DIR=DIR then needs "
         "no compiler at all. Shorthand for ITOR_AOT_DIR=DIR ITOR_AOT_EXPORT=1.",
     )
+    parser.add_argument(
+        "--prune-stale", action="store_true",
+        help="With --export-aot: delete store dirs for other device/JAX "
+        "fingerprints after exporting, so baked images and repo-shipped "
+        "artifacts don't accrete dead executables.",
+    )
     args = parser.parse_args()
     if args.export_aot is not None:
         import os
@@ -192,10 +198,23 @@ def main() -> None:
         ann=cfg.ann,
         ann_nlist=cfg.ann_nlist,
         ann_nprobe=cfg.ann_nprobe,
+        topk_extraction=cfg.topk_extraction,
     )
     batches = BATCH_BUCKETS if args.batching else (1,)
     n = warm_serve_shapes(rec, batch_buckets=batches)
     print(f"precompiled {n} serve programs; compilation cache is hot")
+
+    if args.export_aot is not None:
+        import json
+
+        from instacart_next_order_recommendation_tpu.serve.aot import AotStore
+
+        store = AotStore.from_env()
+        if args.prune_stale:
+            pruned = store.prune_stale()
+            if pruned:
+                print(f"pruned {len(pruned)} stale store dir(s): {', '.join(pruned)}")
+        print("AOT store report: " + json.dumps(store.report()))
 
 
 if __name__ == "__main__":

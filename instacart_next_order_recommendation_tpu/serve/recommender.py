@@ -77,10 +77,25 @@ class Recommender:
         ann: bool = False,
         ann_nlist: int | None = None,
         ann_nprobe: int = 8,
+        topk_extraction: str | None = None,
     ):
         """``ann=True`` swaps the exact brute-force index for the IVF
         approximate index (index/ivf.py) — for catalogs too large for the
-        full scan. The exact scan is the default (reference contract)."""
+        full scan. The exact scan is the default (reference contract).
+
+        ``topk_extraction``: "exact" (default) or "packed" — the packed
+        score+index extraction kernel for >=1M-row catalogs (scores
+        quantized to ~3 decimal digits; near-tied candidates may swap).
+        ``None`` reads the ITOR_TOPK_EXTRACTION env, so API servers (which
+        construct this with paths only) are operator-flippable too."""
+        import os as _os
+
+        from instacart_next_order_recommendation_tpu.constants import (
+            ENV_TOPK_EXTRACTION,
+        )
+
+        if topk_extraction is None:
+            topk_extraction = (_os.getenv(ENV_TOPK_EXTRACTION) or "exact").strip().lower()
         self.model_dir = self._resolve_model_dir(model_dir)
         self.corpus_path = Path(corpus_path).resolve()
         self.product_ids, self.product_texts = self._load_corpus()
@@ -100,7 +115,9 @@ class Recommender:
             )
             self._fused = None
             return
-        self.index = ShardedCatalogIndex(self.product_embeddings, mesh)
+        self.index = ShardedCatalogIndex(
+            self.product_embeddings, mesh, extraction=topk_extraction
+        )
         # Single-device serving fuses encode+topk into one dispatch; the
         # sharded path keeps encode separate (topk runs under shard_map).
         self._fused = None
@@ -115,6 +132,7 @@ class Recommender:
                 self.index._catalog,
                 len(self.product_ids),
                 pad_id=self.encoder.tokenizer.pad_id,
+                packed=self.index.packed,
             )
 
     @staticmethod
@@ -364,6 +382,8 @@ class InferenceConfig:
         self.ann = bool(raw.get("ann", False))
         self.ann_nlist = int(raw["ann_nlist"]) if raw.get("ann_nlist") else None
         self.ann_nprobe = int(raw.get("ann_nprobe", 8))
+        # "exact" | "packed"; None defers to the ITOR_TOPK_EXTRACTION env.
+        self.topk_extraction = raw.get("topk_extraction")
 
     @classmethod
     def load(cls, config_path: Path | None = None) -> "InferenceConfig":
@@ -403,6 +423,7 @@ def main() -> None:
         ann=cfg.ann,
         ann_nlist=cfg.ann_nlist,
         ann_nprobe=cfg.ann_nprobe,
+        topk_extraction=cfg.topk_extraction,
     )
 
     if cfg.eval_query_id:

@@ -226,3 +226,44 @@ print("RESULT " + json.dumps({{
     assert result["compiled"] == [], (
         f"first request invoked the compiler for: {result['compiled']}"
     )
+
+
+def test_store_report_and_prune_stale(tmp_path):
+    """Lifecycle: report() sizes every fingerprint dir; prune_stale() removes
+    only OTHER fingerprints' dirs, never the current one's executables."""
+    store = AotStore(tmp_path, export=True)
+    fn = jax.jit(lambda x: x * 2)
+    x = jnp.ones((4,), jnp.float32)
+    store.run("lifecycle_test", fn, (x,))
+    assert (store.root / "lifecycle_test.jaxexec").exists()
+
+    # Two stale dirs from imaginary older device/JAX builds.
+    for stale in ("v1-tpu_TPU-v4_1dev_jax0.8.0", "v2-tpu_TPU-v4_1dev_jax0.8.5"):
+        d = tmp_path / stale
+        d.mkdir()
+        (d / "old.jaxexec").write_bytes(b"x" * 128)
+
+    rep = store.report()
+    assert rep["current"] == store.root.name
+    assert len(rep["dirs"]) == 3
+    assert rep["dirs"][store.root.name]["current"]
+    assert rep["dirs"][store.root.name]["executables"] == 1
+    assert rep["dirs"]["v1-tpu_TPU-v4_1dev_jax0.8.0"]["bytes"] == 128
+
+    # Dry run deletes nothing.
+    candidates = store.prune_stale(dry_run=True)
+    assert sorted(candidates) == [
+        "v1-tpu_TPU-v4_1dev_jax0.8.0", "v2-tpu_TPU-v4_1dev_jax0.8.5"
+    ]
+    assert (tmp_path / "v1-tpu_TPU-v4_1dev_jax0.8.0").exists()
+
+    pruned = store.prune_stale()
+    assert sorted(pruned) == sorted(candidates)
+    assert not (tmp_path / "v1-tpu_TPU-v4_1dev_jax0.8.0").exists()
+    assert not (tmp_path / "v2-tpu_TPU-v4_1dev_jax0.8.5").exists()
+    # Current store untouched and still serving.
+    assert (store.root / "lifecycle_test.jaxexec").exists()
+    fresh = AotStore(tmp_path)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.run("lifecycle_test", fn, (x,))), np.asarray(x) * 2
+    )
