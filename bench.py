@@ -43,7 +43,10 @@ def _pin_repo_artifacts() -> None:
 REFERENCE_QPS = 1000.0 / 119.9  # reference end-to-end serve latency
 CATALOG_SIZE = 50_000
 N_QUERIES = 8192
-SERVE_BATCH = 256
+# Serve batch: 256 default; ITOR_BENCH_SERVE_BATCH overrides for ceiling
+# experiments (512 compiles fine as of r3 — the r2 compile pathology was
+# specific to Pallas-in-scan graphs, not plain fused programs).
+SERVE_BATCH = int(os.getenv("ITOR_BENCH_SERVE_BATCH", "256"))
 # Batch 256 for catalog encode too: product texts are short so larger batches
 # would amortize RTT slightly better, but batch>=512 fused-tower programs
 # compile pathologically slowly through this environment's remote compile
@@ -277,12 +280,17 @@ def main() -> None:
         serve_batch(lo)  # pull every bucket program into this jit cache (hot)
 
     # Worker threads overlap host tokenization and the per-round
-    # host<->device transfer latency (large on tunneled TPU setups); 8 keeps
-    # the device queue full against the ~25ms readback RTT. The window is
-    # short (~0.4s), so a single slow tunnel round trip can swing one pass by
-    # 20%+ — measure three passes and report the median.
+    # host<->device transfer latency (large on tunneled TPU setups): with T
+    # batches in flight against a ~27 ms round trip and ~3-15 ms of device
+    # work per batch, the device queue drains in ~T*7 ms, so T must exceed
+    # RTT/avg_batch_ms (~4-8) with margin to keep the chip busy. The window
+    # is short (~0.3s), so a single slow tunnel round trip can swing one
+    # pass by 20%+ — measure five passes and report the median.
+    # Measured thread sweep (r3, v5e): 8 -> 29.0k q/s (12% spread),
+    # 12 -> 29.7k (2.7%), 16 -> 30.1k (2.7%) vs 33k device ceiling.
+    n_threads = int(os.getenv("ITOR_BENCH_THREADS", "16"))
     passes = []
-    with ThreadPoolExecutor(8) as ex:
+    with ThreadPoolExecutor(n_threads) as ex:
         for p in range(5):
             t0 = time.time()
             results = list(ex.map(serve_batch, range(0, N_QUERIES, SERVE_BATCH)))

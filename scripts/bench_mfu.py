@@ -1,4 +1,4 @@
-"""Encoder MFU measurements behind docs/PERFORMANCE.md ("Encoder MFU").
+"""Encoder + train-step MFU measurements behind docs/PERFORMANCE.md.
 
 Measures, on the real chip, the fused encode at the serve seq buckets, the
 XLA pure-GEMM chain at identical dims (the MXU roofline for this tower),
@@ -7,7 +7,17 @@ dispatches queued back-to-back, one readback, minus the measured
 dispatch+readback RTT floor (naive `block_until_ready` timing reads ~0
 through remote-execution tunnels).
 
+``--train`` instead measures the full TRAIN step (two-tower fwd + MNRL +
+bwd + AdamW — the hot loop the reference delegates to HF Trainer,
+/root/reference/src/training/train_sbert.py:128-137) at the given batch
+sizes, both with the fused-layer forward (bwd = XLA recompute through the
+jnp reference path) and with the fused layer disabled (pure XLA fwd+bwd) —
+the measured accept/reject for a hand-written fused backward. Train steps
+chain naturally (each step consumes the previous step's params), so no
+artificial data dependency is needed.
+
 Run: python scripts/bench_mfu.py [batch]
+     python scripts/bench_mfu.py --train [batch ...]
 """
 
 from __future__ import annotations
@@ -134,5 +144,103 @@ def main() -> None:
     os.environ.pop("ITOR_DISABLE_FUSED_LAYER", None)
 
 
+def train_main() -> None:
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from instacart_next_order_recommendation_tpu.models import MINILM_L6, init_params
+    from instacart_next_order_recommendation_tpu.models.encoder import encode
+    from instacart_next_order_recommendation_tpu.ops import mnrl_loss
+    from instacart_next_order_recommendation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    batches = [int(a) for a in sys.argv[2:] if a.isdigit()] or [64, 512]
+    S = 128
+    R = 16
+    cfg = dataclasses.replace(MINILM_L6, vocab_size=12000)
+    h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    rng = np.random.default_rng(0)
+
+    f_nop = jax.jit(lambda x: x + 1.0)
+    x0 = jnp.zeros(())
+    float(f_nop(x0))
+    rtts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        float(f_nop(x0))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(f"dispatch+readback RTT floor: {rtt*1e3:.2f} ms")
+
+    tx = optax.adamw(2e-4, weight_decay=0.01)
+
+    def build_step(config):
+        # dropout_key selects the differentiable fused-layer path
+        # (fused_encoder_layer_train's custom_vjp recompute backward) —
+        # exactly the trainer's loss (train/trainer.py loss_fn).
+        def loss_fn(params, a_ids, p_ids, mask, key):
+            ka, kp = jax.random.split(key)
+            a = encode(params, a_ids, mask, config, dropout_key=ka)
+            p = encode(params, p_ids, mask, config, dropout_key=kp)
+            return mnrl_loss(a, p, scale=30.0)
+
+        @jax.jit
+        def step(params, opt_state, a_ids, p_ids, mask, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, a_ids, p_ids, mask, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    for disable_fused in (False, True):
+        if disable_fused:
+            os.environ["ITOR_DISABLE_FUSED_LAYER"] = "1"
+        label_k = "unfused XLA fwd+bwd" if disable_fused else "fused fwd + recompute bwd"
+        for B in batches:
+            params = init_params(cfg, jax.random.key(0))
+            opt_state = jax.jit(tx.init)(params)
+            a_ids = jnp.asarray(rng.integers(4, 11000, size=(B, S)), jnp.int32)
+            p_ids = jnp.asarray(rng.integers(4, 11000, size=(B, S)), jnp.int32)
+            mask = jnp.ones((B, S), jnp.int32)
+            key = jax.random.key(7)
+            step = build_step(cfg)
+            t0 = time.perf_counter()
+            try:
+                params, opt_state, loss = step(params, opt_state, a_ids, p_ids, mask, key)
+                float(loss)  # compile + warm
+            except Exception as exc:  # noqa: BLE001 - e.g. HBM OOM at B=512 unfused
+                print(f"{label_k:<28} B={B:<4} S={S}: FAILED ({type(exc).__name__}: "
+                      f"{str(exc).splitlines()[0][:120]})")
+                continue
+            print(f"  [{label_k} B={B}] compile+first step {time.perf_counter()-t0:.1f}s")
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(R):
+                    params, opt_state, loss = step(params, opt_state, a_ids, p_ids, mask, key)
+                float(loss)  # one readback fences the chain
+                ts.append(time.perf_counter() - t0)
+            per = (float(np.median(ts)) - rtt) / R
+            # FLOPs: 2 tower forwards; bwd ~= 2x fwd (3x total, standard
+            # fwd:bwd accounting); AdamW/loss negligible at these dims.
+            fwd = L * (2 * B * S * (4 * h * h + 2 * h * inter) + 4 * B * S * S * h)
+            flops = 2 * 3 * fwd
+            tf = flops / per / 1e12
+            print(
+                f"{label_k:<28} B={B:<4} S={S}: {per*1e3:7.2f} ms/step -> "
+                f"{tf:6.1f} TFLOP/s ({100*tf/V5E_BF16_PEAK_TFLOPS:4.1f}% of "
+                f"v5e bf16 peak), {B/per:7.0f} pairs/s"
+            )
+    os.environ.pop("ITOR_DISABLE_FUSED_LAYER", None)
+
+
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        train_main()
+    else:
+        main()

@@ -72,6 +72,19 @@ def _worker(args) -> None:
         "global_devices": jax.device_count(),
         "local_devices": jax.local_device_count(),
     }
+    if args.model_parallel > 1:
+        # Record which mesh axes span processes for this topology: collectives
+        # along a spanning axis cross the process boundary (sockets here, DCN
+        # on a real pod). The train mesh below is built with the same config,
+        # so these flags describe the collectives the TP train step emits.
+        tp_mesh = build_mesh(MeshConfig(model_parallel=args.model_parallel))
+        md = tp_mesh.devices
+        result["tp_crosses_process"] = bool(
+            any(len({d.process_index for d in md[i, :]}) > 1 for i in range(md.shape[0]))
+        )
+        result["dp_crosses_process"] = bool(
+            any(len({d.process_index for d in md[:, j]}) > 1 for j in range(md.shape[1]))
+        )
 
     # --- train bench: the REAL trainer over the global mesh -----------------
     from instacart_next_order_recommendation_tpu.train import TrainConfig, TwoTowerTrainer
@@ -79,7 +92,13 @@ def _worker(args) -> None:
     cfg = TrainConfig(
         {
             "processed_dir": str(args.workspace / "processed"),
-            "output_dir": str(args.workspace / f"model_np{args.processes}"),
+            "output_dir": str(
+                args.workspace
+                / (
+                    f"model_np{args.processes}"
+                    + (f"_mp{args.model_parallel}" if args.model_parallel > 1 else "")
+                )
+            ),
             "model_name": str(args.workspace / "tiny_tower"),
             "max_seq_length": 32,
             "epochs": args.epochs,
@@ -87,6 +106,12 @@ def _worker(args) -> None:
             # batch x dp), so the global batch grows with the mesh — weak
             # scaling, the regime the cross-device-negatives design targets.
             "train_batch_size": args.per_device_batch,
+            # mp>1 splits the model axis over the mesh; with 2 processes x
+            # mp=2 and 1 device/process-half, the Megatron-TP shard_map step's
+            # collectives cross a PROCESS boundary — the one parallel
+            # topology a single-process dryrun cannot exercise.
+            "model_parallel": args.model_parallel,
+            "train_step_mode": "shard_map" if args.model_parallel > 1 else "auto",
             "run_information_retrieval_evaluator": False,
             "logging_steps": 10_000,
             "steps_per_dispatch": 1,
@@ -94,7 +119,9 @@ def _worker(args) -> None:
     )
     t_res = TwoTowerTrainer(cfg).train()
     last = t_res["history"][-1]  # steady state (first epoch pays compiles)
-    global_batch = args.per_device_batch * jax.device_count()
+    dp = jax.device_count() // max(1, args.model_parallel)
+    result["model_parallel"] = args.model_parallel
+    global_batch = args.per_device_batch * dp
     n_pairs_seen = global_batch * _steps_in_epoch(args.workspace, global_batch)
     result["train_examples_per_s"] = round(n_pairs_seen / last["epoch_seconds"], 1)
     result["train_loss_final"] = last["train_loss"]
@@ -111,6 +138,12 @@ def _worker(args) -> None:
     index.topk(queries, 10)  # compile + rendezvous warm-up
     t0 = time.time()
     reps = 20
+    # Per-call sync, intentionally: async-queuing 20 shard_map dispatches
+    # lets the processes' collective queues drift apart, which XLA:CPU's
+    # hard 40 s rendezvous window punishes (observed: wedged mp=2 groups);
+    # measured on this host the pipelined variant changed efficiency by
+    # <0.005 anyway. Real-serving pipelining is benched in bench.py on the
+    # actual chip instead.
     for _ in range(reps):
         scores, ids = index.topk(queries, 10)
     dt = time.time() - t0
@@ -197,6 +230,7 @@ def _run_group(args, n_processes: int, port: int) -> dict:
             "--catalog", str(args.catalog),
             "--workspace", str(args.workspace),
             "--platform", args.platform,
+            "--model-parallel", str(args.model_parallel),
         ]
         procs.append(
             subprocess.Popen(
@@ -233,6 +267,12 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="Multi-host scaling harness")
     parser.add_argument("--processes", type=int, default=2)
     parser.add_argument("--local-devices", type=int, default=2)
+    parser.add_argument(
+        "--model-parallel", type=int, default=1,
+        help="Megatron-TP degree for the train step (shard_map mode when >1);"
+        " with processes=2, local-devices=2, model-parallel=2 the TP"
+        " collectives cross a process boundary.",
+    )
     parser.add_argument("--per-device-batch", type=int, default=16)
     parser.add_argument("--epochs", type=int, default=2)
     parser.add_argument("--catalog", type=int, default=20_000)
@@ -274,6 +314,7 @@ def main(argv: list[str] | None = None) -> int:
     summary: dict = {"metric": "multihost_scaling", "config": {
         "processes": args.processes, "local_devices": args.local_devices,
         "per_device_batch": args.per_device_batch, "catalog": args.catalog,
+        "model_parallel": args.model_parallel,
     }}
     if args.baseline:
         print(f"=== baseline: 1 process x {args.local_devices} devices ===", flush=True)

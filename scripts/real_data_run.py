@@ -61,6 +61,40 @@ REFERENCE_EPOCHS = {
     "map_at_100": (0.071, 0.078, 0.085, 0.086, 0.085),
 }
 
+# Reference baselines on the same eval set (README.md:283-292): the full
+# published report includes these two rows, so one invocation here emits
+# them too (reference runner: src/baselines/run_baselines.py:60).
+REFERENCE_BASELINES = {
+    "content_based": {
+        "accuracy_at_1": 0.046, "accuracy_at_10": 0.136, "recall_at_10": 0.030,
+        "mrr_at_10": 0.071, "ndcg_at_10": 0.086, "map_at_100": 0.018,
+    },
+    "item_item_cf": {
+        "accuracy_at_1": 0.030, "accuracy_at_10": 0.148, "recall_at_10": 0.017,
+        "mrr_at_10": 0.059, "ndcg_at_10": 0.080, "map_at_100": 0.010,
+    },
+}
+
+METRIC_KEYS = tuple(REFERENCE_EPOCHS.keys())
+
+
+def format_baseline_table(rows: dict[str, dict]) -> str:
+    """``rows``: label -> metrics dict (ours); reference values side by side."""
+    lines = [
+        "| Baseline | " + " | ".join(METRIC_KEYS) + " |",
+        "|---|" + "---|" * len(METRIC_KEYS),
+    ]
+    for key, label in (
+        ("content_based", "Content-based (untrained tower)"),
+        ("item_item_cf", "Item-item CF"),
+    ):
+        if key not in rows:
+            continue
+        ours, ref = rows[key], REFERENCE_BASELINES[key]
+        cells = [f"{ours[m]:.3f} / {ref[m]:.3f}" for m in METRIC_KEYS]
+        lines.append(f"| {label} (ours / ref) | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
 
 def check_prerequisites(data_dir: Path, base_model: Path) -> list[str]:
     """Returns a list of human-readable problems; empty = ready to run."""
@@ -135,6 +169,18 @@ def main(argv: list[str] | None = None) -> int:
         "--check", action="store_true",
         help="only validate prerequisites (data + checkpoint present), then exit",
     )
+    parser.add_argument(
+        "--skip-baselines", action="store_true",
+        help="skip the content-based + item-item CF baseline rows",
+    )
+    parser.add_argument(
+        "--skip-compare", action="store_true",
+        help="skip the untrained-vs-trained collapse diagnostics",
+    )
+    parser.add_argument(
+        "--compare-sample-queries", type=int, default=None,
+        help="subsample eval queries for the collapse compare (full set by default)",
+    )
     args = parser.parse_args(argv)
 
     problems = check_prerequisites(args.data_dir, args.base_model)
@@ -160,7 +206,7 @@ def main(argv: list[str] | None = None) -> int:
     enable_compilation_cache()
     args.workdir.mkdir(parents=True, exist_ok=True)
 
-    print("\n=== 1/3 Data prep (reference recipe: p5_mp20_ef%.1g) ===" % args.eval_frac)
+    print("\n=== 1/5 Data prep (reference recipe: p5_mp20_ef%.1g) ===" % args.eval_frac)
     from instacart_next_order_recommendation_tpu.data import InstacartDataPrep
 
     prep = InstacartDataPrep(
@@ -178,7 +224,7 @@ def main(argv: list[str] | None = None) -> int:
         prep.prepare()
         print(f"prep done in {time.time() - t0:.0f}s -> {processed}")
 
-    print("\n=== 2/3 Warm-started training (reference train.yaml recipe) ===")
+    print("\n=== 2/5 Warm-started training (reference train.yaml recipe) ===")
     from instacart_next_order_recommendation_tpu.train import TrainConfig, TwoTowerTrainer
 
     cfg = TrainConfig(
@@ -199,11 +245,104 @@ def main(argv: list[str] | None = None) -> int:
     result = TwoTowerTrainer(cfg).train()
     print(f"training done; final export at {result['final_dir']}")
 
-    print("\n=== 3/3 Side-by-side vs reference (BASELINE.md) ===")
+    print("\n=== 3/5 Baselines on the same eval set (reference README.md:283-292) ===")
+    baseline_rows: dict[str, dict] = {}
+    if args.skip_baselines:
+        print("skipped (--skip-baselines)")
+    else:
+        from instacart_next_order_recommendation_tpu.baselines.collaborative_filtering import (
+            ItemItemCFBaseline,
+            load_eval_data,
+        )
+        from instacart_next_order_recommendation_tpu.baselines.content_based import (
+            ContentBasedBaseline,
+        )
+        from instacart_next_order_recommendation_tpu.eval.metrics import (
+            compute_ir_metrics,
+            format_metrics,
+        )
+        from instacart_next_order_recommendation_tpu.models.text_encoder import TextEncoder
+
+        eval_queries, eval_corpus, eval_relevant = load_eval_data(processed)
+        t0 = time.time()
+        # Cap the untrained tower at the run's seq length: checkpoints may
+        # carry a shorter position table than TextEncoder's default.
+        cb = ContentBasedBaseline(
+            eval_queries,
+            eval_corpus,
+            model=TextEncoder.load(args.base_model, max_seq_length=args.max_seq_length),
+        )
+        baseline_rows["content_based"] = compute_ir_metrics(cb.rank_all(), eval_relevant)
+        print(format_metrics("Content-based (untrained tower)", baseline_rows["content_based"]))
+        print(f"  ({time.time() - t0:.0f}s)")
+        t0 = time.time()
+        cf = ItemItemCFBaseline(args.data_dir, processed)
+        baseline_rows["item_item_cf"] = compute_ir_metrics(
+            cf.rank_all(eval_query_ids=list(eval_queries.keys())), eval_relevant
+        )
+        print(format_metrics("Collaborative filtering (item-item)", baseline_rows["item_item_cf"]))
+        print(f"  ({time.time() - t0:.0f}s)")
+
+    print("\n=== 4/5 Collapse diagnostics: untrained vs trained ===")
+    collapse_block = ""
+    if args.skip_compare:
+        print("skipped (--skip-compare)")
+    else:
+        import random
+
+        from instacart_next_order_recommendation_tpu.baselines.collaborative_filtering import (
+            load_eval_data,
+        )
+        from instacart_next_order_recommendation_tpu.models.text_encoder import TextEncoder
+        from scripts.compare_untrained_vs_trained import (
+            embedding_collapse_metrics,
+            evaluate_encoder,
+        )
+
+        eval_queries, eval_corpus, eval_relevant = load_eval_data(processed)
+        if args.compare_sample_queries and args.compare_sample_queries < len(eval_queries):
+            rng = random.Random(123)
+            qids = rng.sample(list(eval_queries.keys()), args.compare_sample_queries)
+            eval_queries = {q: eval_queries[q] for q in qids}
+            eval_relevant = {q: eval_relevant[q] for q in qids if q in eval_relevant}
+        u_metrics, u_q, u_c = evaluate_encoder(
+            TextEncoder.load(args.base_model, max_seq_length=args.max_seq_length),
+            eval_queries, eval_corpus, eval_relevant, 256,
+        )
+        t_metrics, t_q, t_c = evaluate_encoder(
+            TextEncoder.load(result["final_dir"], max_seq_length=args.max_seq_length),
+            eval_queries, eval_corpus, eval_relevant, 256,
+        )
+        collapse = {
+            **embedding_collapse_metrics(u_q, u_c, "untrained"),
+            **embedding_collapse_metrics(t_q, t_c, "trained"),
+        }
+        delta = t_metrics["ndcg_at_10"] - u_metrics["ndcg_at_10"]
+        verdict = (
+            "trained better" if delta >= 0 else
+            "TRAINED UNDERPERFORMS UNTRAINED (possible overfit/collapse)"
+        )
+        collapse_block = (
+            "## Collapse diagnostics (untrained vs trained)\n\n"
+            f"- NDCG@10: untrained {u_metrics['ndcg_at_10']:.4f} -> trained "
+            f"{t_metrics['ndcg_at_10']:.4f} (delta {delta:+.4f}; {verdict})\n"
+            f"- corpus mean pairwise cos-sim: untrained "
+            f"{collapse['untrained_corpus_mean_pairwise_cos_sim']:.4f} -> trained "
+            f"{collapse['trained_corpus_mean_pairwise_cos_sim']:.4f}\n"
+            f"- corpus mean per-dim std: untrained "
+            f"{collapse['untrained_corpus_mean_std_per_dim']:.4f} -> trained "
+            f"{collapse['trained_corpus_mean_std_per_dim']:.4f}\n"
+        )
+        print(collapse_block)
+
+    print("\n=== 5/5 Side-by-side vs reference (BASELINE.md) ===")
     history = json.loads((args.workdir / "model" / "eval_history.json").read_text())
     best = json.loads((args.workdir / "model" / "best.json").read_text())
     table = format_table(history)
     print(table)
+    baseline_table = format_baseline_table(baseline_rows) if baseline_rows else ""
+    if baseline_table:
+        print("\n" + baseline_table)
     report = (
         "# Real-data parity results\n\n"
         f"Recipe: p5_mp20_ef{args.eval_frac} prep, warm start from "
@@ -211,8 +350,10 @@ def main(argv: list[str] | None = None) -> int:
         f"{args.train_batch_size}, seq {args.max_seq_length}, lr "
         f"{args.learning_rate}, MNRL scale 30 (reference configs/train.yaml).\n\n"
         f"Best checkpoint: epoch {best['best_epoch']} by {best['metric']}.\n\n"
-        f"{table}\n\n"
-        "Reference numbers: README.md:261-266 of the reference repo "
+        f"## Trained two-tower, per epoch\n\n{table}\n\n"
+        + (f"## Baselines (same eval set)\n\n{baseline_table}\n\n" if baseline_table else "")
+        + (collapse_block + "\n" if collapse_block else "")
+        + "Reference numbers: README.md:261-292 of the reference repo "
         "(recorded in BASELINE.md). Parity target: Recall@10 / MRR@10 within "
         "run-to-run variance of the bolded reference epochs.\n"
     )

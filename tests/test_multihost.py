@@ -135,3 +135,98 @@ def test_two_process_resume_broadcast(tmp_path):
     # both must have trained ONLY epoch 2 in this run (no restart at 1).
     assert "EPOCHS 1,2" in outs[0], outs[0][-1500:]
     assert "EPOCHS 2" in outs[1], outs[1][-1500:]
+
+
+@pytest.mark.slow
+def test_two_process_scaling_efficiency_baseline(tmp_path):
+    """--baseline: the harness must produce a weak-scaling efficiency number
+    (VERDICT r2: asserted, never measured). Localhost CPU numbers are a
+    functional lower bound — the floor here guards against pathological
+    collapse (e.g. collectives serializing the whole step), not ICI targets."""
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "launch_multihost.py"),
+            "--processes", "2",
+            "--local-devices", "1",
+            "--users", "80",
+            "--products", "120",
+            "--epochs", "1",
+            "--per-device-batch", "8",
+            "--catalog", "2000",
+            "--workspace", str(tmp_path / "ws"),
+            "--port", "8501",
+            "--timeout", "420",
+            "--baseline",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    eff = summary["scaling_efficiency"]
+    assert summary["baseline"]["processes"] == 1
+    assert summary["multi"]["processes"] == 2
+    # Functional floors, calibrated to this oversubscribed 2-core host
+    # (measured r3: train 0.046-0.21 across cache-warmth states, retrieval
+    # 0.023-0.029 — the 1-process baseline gets BOTH cores and pays zero
+    # socket collectives, and localhost gRPC rendezvous costs ~100ms+ per
+    # step where real ICI costs microseconds, so localhost weak scaling is
+    # structurally pessimistic by orders of magnitude). The floors guard
+    # against collapse (deadlock, serialization bug — both read as ~0 or a
+    # timeout), not ICI targets; BASELINE.md's >=85% needs real hardware
+    # (docs/PERFORMANCE.md "Multi-host scaling").
+    assert eff["train"] >= 0.015, eff
+    assert eff["retrieval"] >= 0.008, eff
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_crosses_boundary(tmp_path):
+    """2 procs x 2 devices, mp=2: the Megatron-TP shard_map train step runs
+    on a mesh whose collectives span the process boundary — the parallel
+    topology a single-process dryrun cannot exercise.
+
+    Flake note: Gloo collectives over localhost sockets on this 2-core host
+    intermittently deadlock mid-epoch (observed r3: every thread of both
+    workers futex-parked after a completed step; the identical run passed
+    minutes earlier). Gloo has no rendezvous timeout, so the launcher's
+    group timeout is the only recovery — keep the epoch SHORT (batch 32 →
+    6 steps → ~150 collective rounds) and retry once on a fresh port before
+    declaring failure.
+    """
+    last = None
+    for attempt, port in enumerate(("8503", "8603")):
+        proc = subprocess.run(
+            [
+                sys.executable, str(REPO / "scripts" / "launch_multihost.py"),
+                "--processes", "2",
+                "--local-devices", "2",
+                "--model-parallel", "2",
+                "--users", "80",
+                "--products", "120",
+                "--epochs", "1",
+                "--per-device-batch", "32",
+                "--catalog", "2000",
+                "--workspace", str(tmp_path / "ws"),
+                "--port", port,
+                "--timeout", "600",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=660,
+        )
+        last = proc
+        if proc.returncode == 0:
+            break
+    proc = last
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    multi = summary["multi"]
+    assert multi["processes"] == 2
+    assert multi["global_devices"] == 4
+    assert multi["model_parallel"] == 2
+    assert multi["train_loss_finite"]
+    assert multi["retrieval_exact_top1"]
+    # The 2x2 mesh cannot fit inside one process: at least one axis's
+    # collectives cross the boundary (the flags record which).
+    assert multi["tp_crosses_process"] or multi["dp_crosses_process"], multi

@@ -120,3 +120,9 @@ def test_runbook_end_to_end_tiny(tmp_path, capsys):
     assert "ndcg_at_10" in report and "/ 0.153" in report
     history = json.loads((tmp_path / "ws" / "model" / "eval_history.json").read_text())
     assert history[0]["epoch"] == 1 and "ndcg_at_10" in history[0]
+    # Full published report from ONE invocation: both baseline rows (vs the
+    # reference's README.md:283-292 numbers) and the collapse verdict.
+    assert "Content-based (untrained tower) (ours / ref)" in report
+    assert "Item-item CF (ours / ref)" in report and "/ 0.148" in report
+    assert "Collapse diagnostics" in report
+    assert "corpus mean pairwise cos-sim" in report
