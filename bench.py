@@ -47,11 +47,11 @@ N_QUERIES = 8192
 # experiments (512 compiles fine as of r3 — the r2 compile pathology was
 # specific to Pallas-in-scan graphs, not plain fused programs).
 SERVE_BATCH = int(os.getenv("ITOR_BENCH_SERVE_BATCH", "256"))
-# Batch 256 for catalog encode too: product texts are short so larger batches
-# would amortize RTT slightly better, but batch>=512 fused-tower programs
-# compile pathologically slowly through this environment's remote compile
-# service (a cold B=1024 encode compile exceeds 16 minutes; B=256 takes ~1-2).
-CATALOG_BATCH = 256
+# Catalog-encode batch. r2 kept this at 256 because large fused programs
+# compiled pathologically through the remote compile service; r3 re-measured
+# plain (non-scan) fused programs compiling in seconds at B=512, and product
+# texts are short (S<=64 buckets) where B=512 measures +8% device-side.
+CATALOG_BATCH = int(os.getenv("ITOR_BENCH_CATALOG_BATCH", "256"))
 TOP_K = 10
 
 

@@ -163,6 +163,9 @@ def main() -> None:
 
     os.environ["FEEDBACK_DB_PATH"] = str(args.workdir / "feedback.db")
     os.environ["BATCH_WINDOW_MS"] = str(args.window_ms)
+    # Load test: the production default (100/minute) would 429 the soak
+    # within the first second on real hardware.
+    os.environ.setdefault("RATE_LIMIT", "10000000/minute")
     from instacart_next_order_recommendation_tpu.api import create_app
     from instacart_next_order_recommendation_tpu.api.http import serve
 
