@@ -58,7 +58,9 @@ def build_workspace(base: Path, n_products: int) -> tuple[Path, Path, list[str]]
 
     tok = WordPieceTokenizer.train(catalog, vocab_size=8000)
     cfg = dataclasses.replace(MINILM_L6, vocab_size=tok.vocab_size)
-    model_dir = base / "model"
+    # Keyed by catalog size: a reused workdir with a different --products
+    # would otherwise serve a stale tower whose vocab mismatches the corpus.
+    model_dir = base / f"model_p{n_products}"
     if not (model_dir / "params.msgpack").exists():
         save_tower(model_dir, init_params(cfg, jax.random.key(0)), cfg, tok)
     corpus_path = base / "eval_corpus.json"
