@@ -569,6 +569,51 @@ class TestFusedEncoderLayer:
             )
 
 
+class TestBlockDiagOracle:
+    """The recompute backward's block-diagonal oracle (r3) must be
+    numerically interchangeable with the per-head reference formulation —
+    values AND vjp — including at sequence lengths that pad K/V to 128."""
+
+    def _setup(self, rng, seq):
+        hidden, inter, heads = 128, 256, 4
+        layer = TestFusedEncoderLayer._layer_params(
+            TestFusedEncoderLayer(), rng, hidden, inter
+        )
+        batch = 4
+        x = jnp.asarray(0.3 * rng.standard_normal((batch, seq, hidden)), jnp.float32)
+        mask = jnp.asarray(
+            (np.arange(seq)[None, :] < seq - 5).astype(np.float32).repeat(batch, 0)
+        )
+        return x, mask, layer, heads
+
+    @pytest.mark.parametrize("seq", [128, 48])  # 48 pads K/V rows to 128
+    def test_value_and_grad_match_perhead(self, rng, seq):
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        x, mask, layer, heads = self._setup(rng, seq)
+        kwargs = dict(num_heads=heads, scale=0.176, eps=1e-12)
+        bias, weights = fused_layer._prep_inputs(x, mask, layer, x.dtype)
+
+        ref = fused_layer._oracle(x, bias, None, None, *weights, **kwargs)
+        bd = fused_layer._oracle_blockdiag(x, bias, None, None, *weights, **kwargs)
+        np.testing.assert_allclose(np.asarray(bd), np.asarray(ref), atol=2e-5)
+
+        def loss(fn, x_, l):
+            b_, w_ = fused_layer._prep_inputs(x_, mask, l, x_.dtype)
+            return jnp.sum(fn(x_, b_, None, None, *w_, **kwargs) ** 2)
+
+        g_ref = jax.grad(lambda x_, l: loss(fused_layer._oracle, x_, l), (0, 1))(x, layer)
+        g_bd = jax.grad(
+            lambda x_, l: loss(fused_layer._oracle_blockdiag, x_, l), (0, 1)
+        )(x, layer)
+        np.testing.assert_allclose(np.asarray(g_bd[0]), np.asarray(g_ref[0]), atol=1e-4)
+        for name in ("q_w", "k_w", "v_w", "o_w", "ffn_w1", "attn_ln_scale"):
+            np.testing.assert_allclose(
+                np.asarray(g_bd[1][name]), np.asarray(g_ref[1][name]),
+                atol=1e-4, rtol=1e-4, err_msg=f"grad mismatch for {name}",
+            )
+
+
 class TestPackedExtraction:
     """Opt-in packed-extraction top-k kernel (ops/topk.py, extraction="packed")."""
 
