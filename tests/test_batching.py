@@ -345,3 +345,18 @@ def test_steady_load_reengages_window_without_preseed(rec):
     for t in threads:
         t.join()
     assert max(spy.batch_sizes) > 1, spy.batch_sizes[:20]
+
+
+def test_decision_counters_account_for_every_leader(rec):
+    """Observability invariant: every leader election records exactly one
+    window decision and exactly one drain — windowed+immediate must equal
+    the number of drains, under concurrency."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    batcher = MicroBatcher(rec, window_ms=5.0)
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(lambda i: batcher.recommend(f"milk {i % 3}", top_k=3), range(40)))
+    decisions = batcher.decision_counts["windowed"] + batcher.decision_counts["immediate"]
+    drains = sum(batcher.drain_sizes.values())
+    assert decisions == drains > 0
+    assert sum(size * n for size, n in batcher.drain_sizes.items()) == 40

@@ -157,3 +157,34 @@ def test_aot_key_suffix_pins_knobs(monkeypatch):
     monkeypatch.setenv("ITOR_TOPK_DISPATCH", "dense")
     assert topk_mod.topk_cache_suffix() == "_disp-dense"
     assert topk_mod.topk_cache_suffix(packed=True) == "_pk1_disp-dense"
+
+
+def test_aot_store_keys_separate_dispatch_variants(served, monkeypatch, tmp_path):
+    """Flipping ITOR_TOPK_DISPATCH against a warm AOT store must compile a
+    NEW executable under a new key — never load the other path's program."""
+    import jax
+    from jax.sharding import Mesh
+
+    from instacart_next_order_recommendation_tpu.index import ShardedCatalogIndex
+
+    store = tmp_path / "aot"
+    monkeypatch.setenv("ITOR_AOT_DIR", str(store))
+    monkeypatch.setenv("ITOR_AOT_EXPORT", "1")
+    monkeypatch.delenv("ITOR_TOPK_DISPATCH", raising=False)
+
+    rng = np.random.default_rng(1)
+    cat = rng.standard_normal((256, 32), dtype=np.float32)
+    cat /= np.linalg.norm(cat, axis=1, keepdims=True)
+    q = cat[:4]
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+
+    ShardedCatalogIndex(cat, mesh=mesh).topk(q, 5)
+    auto_files = {p.name for p in store.rglob("*.jaxexec")}
+    assert auto_files and not any("_disp" in n for n in auto_files)
+
+    monkeypatch.setenv("ITOR_TOPK_DISPATCH", "dense")
+    s_d, i_d = ShardedCatalogIndex(cat, mesh=mesh).topk(q, 5)
+    dense_files = {p.name for p in store.rglob("*.jaxexec")} - auto_files
+    assert dense_files and all("_disp-dense" in n for n in dense_files)
+    expect = np.argsort(-(q @ cat.T), axis=1)[:, :5]
+    np.testing.assert_array_equal(i_d, expect)
