@@ -614,6 +614,88 @@ class TestBlockDiagOracle:
             )
 
 
+class TestFusedBackwardKernel:
+    """Opt-in fused backward (ops/fused_layer.py: _bwd_kernel + the XLA-side
+    wgrad GEMMs, ITOR_FUSED_BWD=1). Every gradient the layer produces must
+    match jax.vjp through the per-head oracle — dx plus all 12 weight
+    cotangents — across dropout on/off and K/V-padded sequence lengths."""
+
+    def _setup(self, rng, seq, batch=2):
+        hidden, inter, heads = 128, 256, 4
+        layer = TestFusedEncoderLayer._layer_params(
+            TestFusedEncoderLayer(), rng, hidden, inter
+        )
+        x = jnp.asarray(0.3 * rng.standard_normal((batch, seq, hidden)), jnp.float32)
+        mask = jnp.asarray(
+            (np.arange(seq)[None, :] < seq - 5).astype(np.float32).repeat(batch, 0)
+        )
+        return x, mask, layer, heads
+
+    @pytest.mark.parametrize("seq,dropout", [(128, False), (128, True), (48, True)])
+    def test_all_grads_match_oracle_vjp(self, rng, seq, dropout):
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        x, mask, layer, heads = self._setup(rng, seq)
+        bias, weights = fused_layer._prep_inputs(x, mask, layer, x.dtype)
+        kwargs = dict(num_heads=heads, scale=0.176, eps=1e-12)
+        g = jnp.asarray(
+            np.random.default_rng(7).standard_normal(x.shape), jnp.float32
+        )
+        masks, m1, m2 = (), None, None
+        if dropout:
+            keep = 0.9
+            k1, k2 = jax.random.split(jax.random.key(5))
+            inv = jnp.asarray(1.0 / keep, x.dtype)
+            m1 = jnp.where(jax.random.bernoulli(k1, keep, x.shape), inv, 0).astype(x.dtype)
+            m2 = jnp.where(jax.random.bernoulli(k2, keep, x.shape), inv, 0).astype(x.dtype)
+            masks = (m1, m2)
+
+        _, vjp = jax.vjp(
+            lambda x_, *w: fused_layer._oracle(x_, bias, m1, m2, *w, **kwargs),
+            x, *weights,
+        )
+        dx_ref, *dw_ref = vjp(g)
+        dx_k, dw_k = fused_layer._fused_backward(
+            x, bias, masks, weights, g, **kwargs, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_ref), atol=3e-4)
+        names = ("qkv_w", "qkv_b", "o_w", "o_b", "ln1_s", "ln1_b",
+                 "w1", "b1", "w2", "b2", "ln2_s", "ln2_b")
+        for name, a, b in zip(names, dw_k, dw_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_custom_vjp_path_with_env_flag(self, rng, monkeypatch):
+        """ITOR_FUSED_BWD=1 routes fused_encoder_layer_train's backward
+        through the kernel; grads must match the recompute path end to end
+        (same dropout draws)."""
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        x, mask, layer, heads = self._setup(rng, 64, batch=4)
+        kwargs = dict(
+            dropout_key=jax.random.key(3), dropout_rate=0.1,
+            num_heads=heads, scale=0.176, eps=1e-12,
+        )
+
+        def loss(x_, l):
+            return jnp.sum(fused_layer.fused_encoder_layer_train(x_, mask, l, **kwargs) ** 2)
+
+        monkeypatch.setenv("ITOR_FUSED_BWD", "1")
+        fused_layer._train_core.cache_clear()
+        gk = jax.grad(loss, argnums=(0, 1))(x, layer)
+        monkeypatch.setenv("ITOR_FUSED_BWD", "0")  # opt-out: recompute path
+        fused_layer._train_core.cache_clear()
+        gr = jax.grad(loss, argnums=(0, 1))(x, layer)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), atol=3e-4)
+        for name in gr[1]:
+            np.testing.assert_allclose(
+                np.asarray(gk[1][name]), np.asarray(gr[1][name]), atol=3e-4,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+
 class TestPackedExtraction:
     """Opt-in packed-extraction top-k kernel (ops/topk.py, extraction="packed")."""
 
