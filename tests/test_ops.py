@@ -695,6 +695,50 @@ class TestFusedBackwardKernel:
                 err_msg=f"grad mismatch for {name}",
             )
 
+    def test_multi_device_partitioned_backward(self, rng, monkeypatch):
+        """jit-GSPMD over a batch-sharded mesh must route the backward
+        through the custom_partitioning wrapper (_call_bwd_partitioned):
+        grads match the recompute path, and the compiled module contains NO
+        all-gather — the kernel runs on local rows; only the wgrad/LN-partial
+        reductions may appear as all-reduce."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+
+        x, mask, layer, heads = self._setup(rng, 64, batch=16)
+        kwargs = dict(
+            dropout_key=jax.random.key(3), dropout_rate=0.1,
+            num_heads=heads, scale=0.176, eps=1e-12,
+        )
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+        def loss(x_, l):
+            return jnp.sum(
+                fused_layer.fused_encoder_layer_train(x_, mask, l, **kwargs) ** 2
+            )
+
+        monkeypatch.setenv("ITOR_FUSED_BWD", "1")
+        fused_layer._train_core.cache_clear()
+        fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        hlo = fn.lower(xs, layer).compile().as_text()
+        assert "all-gather" not in hlo
+        gk = fn(xs, layer)
+        assert gk[0].sharding.spec == P("data")
+
+        monkeypatch.setenv("ITOR_FUSED_BWD", "0")  # recompute-vjp oracle path
+        fused_layer._train_core.cache_clear()
+        gr = jax.jit(jax.grad(loss, argnums=(0, 1)))(xs, layer)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), atol=3e-4)
+        for name in gr[1]:
+            np.testing.assert_allclose(
+                np.asarray(gk[1][name]), np.asarray(gr[1][name]), atol=3e-4,
+                err_msg=f"grad mismatch for {name}",
+            )
+
 
 class TestPackedExtraction:
     """Opt-in packed-extraction top-k kernel (ops/topk.py, extraction="packed")."""
