@@ -200,7 +200,17 @@ def train_main() -> None:
     for disable_fused in (False, True):
         if disable_fused:
             os.environ["ITOR_DISABLE_FUSED_LAYER"] = "1"
-        label_k = "unfused XLA fwd+bwd" if disable_fused else "fused fwd + recompute bwd"
+        # The fused path honors ITOR_FUSED_BWD / ITOR_FUSED_BWD_WGRAD: by
+        # default both are on, i.e. the fully-fused Pallas bwd with in-kernel
+        # weight-grad accumulation.
+        if disable_fused:
+            label_k = "unfused XLA fwd+bwd"
+        elif os.getenv("ITOR_FUSED_BWD", "").strip() in ("0", "false"):
+            label_k = "fused fwd + recompute bwd"
+        elif os.getenv("ITOR_FUSED_BWD_WGRAD", "").strip() in ("0", "false"):
+            label_k = "fused fwd + split fused bwd"
+        else:
+            label_k = "fused fwd + fully-fused bwd"
         for B in batches:
             params = init_params(cfg, jax.random.key(0))
             opt_state = jax.jit(tx.init)(params)

@@ -631,10 +631,19 @@ class TestFusedBackwardKernel:
         )
         return x, mask, layer, heads
 
-    @pytest.mark.parametrize("seq,dropout", [(128, False), (128, True), (48, True)])
-    def test_all_grads_match_oracle_vjp(self, rng, seq, dropout):
+    @pytest.mark.parametrize(
+        "seq,dropout,wgrads",
+        [
+            (128, False, True), (128, True, True), (48, True, True),
+            # Split path (ITOR_FUSED_BWD_WGRAD=0 / multi-device): kernel
+            # emits intermediate grads, wgrad GEMMs run in XLA.
+            (128, True, False), (48, True, False),
+        ],
+    )
+    def test_all_grads_match_oracle_vjp(self, rng, seq, dropout, wgrads, monkeypatch):
         from instacart_next_order_recommendation_tpu.ops import fused_layer
 
+        monkeypatch.setenv("ITOR_FUSED_BWD_WGRAD", "1" if wgrads else "0")
         x, mask, layer, heads = self._setup(rng, seq)
         bias, weights = fused_layer._prep_inputs(x, mask, layer, x.dtype)
         kwargs = dict(num_heads=heads, scale=0.176, eps=1e-12)
