@@ -217,7 +217,10 @@ def train_main() -> None:
             a_ids = jnp.asarray(rng.integers(4, 11000, size=(B, S)), jnp.int32)
             p_ids = jnp.asarray(rng.integers(4, 11000, size=(B, S)), jnp.int32)
             mask = jnp.ones((B, S), jnp.int32)
-            key = jax.random.key(7)
+            # Same dropout-stream impl as the trainer (rbg by default).
+            key = jax.random.key(
+                7, impl=os.getenv("ITOR_DROPOUT_RNG", "rbg").strip() or "rbg"
+            )
             step = build_step(cfg)
             t0 = time.perf_counter()
             try:
