@@ -704,6 +704,38 @@ class TestFusedBackwardKernel:
                 err_msg=f"grad mismatch for {name}",
             )
 
+    @pytest.mark.parametrize("seq", [64, 48])  # 48 pads K/V rows to 128
+    def test_resid_saving_backward_matches_recompute(self, rng, seq, monkeypatch):
+        """ITOR_FUSED_BWD_RESID=1 (opt-in): the fwd kernel emits the
+        (attn, ao, x1, f) residuals and the backward consumes them instead
+        of recomputing — grads must match the recompute-vjp path exactly
+        (same dropout draws), dropout on, padded and unpadded K/V."""
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        x, mask, layer, heads = self._setup(rng, seq, batch=4)
+        kwargs = dict(
+            dropout_key=jax.random.key(3), dropout_rate=0.1,
+            num_heads=heads, scale=0.176, eps=1e-12,
+        )
+
+        def loss(x_, l):
+            return jnp.sum(
+                fused_layer.fused_encoder_layer_train(x_, mask, l, **kwargs) ** 2
+            )
+
+        monkeypatch.setenv("ITOR_FUSED_BWD_RESID", "1")
+        fused_layer._train_core.cache_clear()
+        gk = jax.grad(loss, argnums=(0, 1))(x, layer)
+        monkeypatch.setenv("ITOR_FUSED_BWD", "0")  # recompute-vjp oracle path
+        fused_layer._train_core.cache_clear()
+        gr = jax.grad(loss, argnums=(0, 1))(x, layer)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), atol=3e-4)
+        for name in gr[1]:
+            np.testing.assert_allclose(
+                np.asarray(gk[1][name]), np.asarray(gr[1][name]), atol=3e-4,
+                err_msg=f"grad mismatch for {name}",
+            )
+
     def test_multi_device_partitioned_backward(self, rng, monkeypatch):
         """jit-GSPMD over a batch-sharded mesh must route the backward
         through the custom_partitioning wrapper (_call_bwd_partitioned):
