@@ -466,25 +466,31 @@ class TwoTowerTrainer:
         logger.info("[3/5] tokenizing %d pairs...", len(anchors))
         t0 = time.time()
 
-        def tokenize_all(texts: list[str]) -> list[np.ndarray]:
-            # Chunked batch tokenization hits the C++ fast path; rows are
-            # trimmed back to ragged arrays for compact storage.
-            out: list[np.ndarray] = []
+        def tokenize_all(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+            # Chunked batch tokenization hits the C++ fast path; rows land
+            # directly in one padded [N, W] matrix (plus a lengths vector)
+            # so per-epoch batch assembly is a single fancy-index — the old
+            # ragged-list storage cost a 324k-iteration Python re-pad loop
+            # EVERY epoch (~10-20 s on a 2-core host).
+            ids_all = np.full((len(texts), cfg.max_seq_length), tokenizer.pad_id, np.int32)
+            len_all = np.zeros(len(texts), np.int64)
             chunk = 8192
             for lo in range(0, len(texts), chunk):
                 ids, mask = tokenizer.encode_batch(
                     texts[lo : lo + chunk], max_seq_length=cfg.max_seq_length
                 )
-                lengths = mask.sum(axis=1)
-                out.extend(ids[r, : lengths[r]] for r in range(len(ids)))
-            return out
+                ids_all[lo : lo + len(ids), : ids.shape[1]] = ids
+                len_all[lo : lo + len(ids)] = mask.sum(axis=1)
+            return ids_all, len_all
 
-        a_tok = tokenize_all(anchors)
-        p_tok = tokenize_all(positives)
+        a_ids_all, a_len_all = tokenize_all(anchors)
+        p_ids_all, p_len_all = tokenize_all(positives)
         max_len = max(
-            (max((len(x) for x in a_tok), default=2), max((len(x) for x in p_tok), default=2))
+            int(a_len_all.max(initial=2)), int(p_len_all.max(initial=2))
         )
         self.seq_len = bucket_length(max_len, cfg.max_seq_length)
+        a_ids_all = np.ascontiguousarray(a_ids_all[:, : self.seq_len])
+        p_ids_all = np.ascontiguousarray(p_ids_all[:, : self.seq_len])
         logger.info(
             "  tokenized in %.1fs; padded seq len %d", time.time() - t0, self.seq_len
         )
@@ -601,20 +607,21 @@ class TwoTowerTrainer:
         # ITOR_DROPOUT_RNG=threefry restores the old stream exactly.
         rng_impl = os.getenv("ITOR_DROPOUT_RNG", "rbg").strip() or "rbg"
         base_key = jax.random.key(cfg.seed, impl=rng_impl)
-        pad_id = tokenizer.pad_id
         global_step = (start_epoch - 1) * n_steps_epoch
 
+        col = np.arange(self.seq_len)[None, :]
+
         def assemble(idx: np.ndarray):
-            b = len(idx)
+            # Vectorized: two fancy-indexes + two broadcast compares per
+            # batch (the padded matrices were built once at tokenize time).
             out = []
-            for tok in (a_tok, p_tok):
-                ids = np.full((b, self.seq_len), pad_id, dtype=np.int32)
-                mask = np.zeros((b, self.seq_len), dtype=np.int32)
-                for r, i in enumerate(idx):
-                    seq = tok[i][: self.seq_len]
-                    ids[r, : len(seq)] = seq
-                    mask[r, : len(seq)] = 1
-                out += [ids, mask]
+            for ids_all, len_all in (
+                (a_ids_all, a_len_all), (p_ids_all, p_len_all)
+            ):
+                out += [
+                    ids_all[idx],
+                    (col < len_all[idx][:, None]).astype(np.int32),
+                ]
             return tuple(jnp.asarray(x) for x in out)
 
         import os as _os
