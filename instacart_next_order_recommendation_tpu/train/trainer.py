@@ -466,31 +466,46 @@ class TwoTowerTrainer:
         logger.info("[3/5] tokenizing %d pairs...", len(anchors))
         t0 = time.time()
 
-        def tokenize_all(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-            # Chunked batch tokenization hits the C++ fast path; rows land
-            # directly in one padded [N, W] matrix (plus a lengths vector)
-            # so per-epoch batch assembly is a single fancy-index — the old
-            # ragged-list storage cost a 324k-iteration Python re-pad loop
-            # EVERY epoch (~10-20 s on a 2-core host).
-            ids_all = np.full((len(texts), cfg.max_seq_length), tokenizer.pad_id, np.int32)
-            len_all = np.zeros(len(texts), np.int64)
+        def tokenize_all(texts: list[str]) -> list[tuple[np.ndarray, np.ndarray]]:
+            # Chunked batch tokenization hits the C++ fast path; chunks stay
+            # at their own bucketed width until the global bucket is known
+            # (preallocating [N, max_seq_length] would be ~2x the footprint
+            # whenever the corpus maxes out below the cap).
+            chunks = []
             chunk = 8192
             for lo in range(0, len(texts), chunk):
                 ids, mask = tokenizer.encode_batch(
                     texts[lo : lo + chunk], max_seq_length=cfg.max_seq_length
                 )
-                ids_all[lo : lo + len(ids), : ids.shape[1]] = ids
-                len_all[lo : lo + len(ids)] = mask.sum(axis=1)
-            return ids_all, len_all
+                chunks.append((ids, mask.sum(axis=1)))
+            return chunks
 
-        a_ids_all, a_len_all = tokenize_all(anchors)
-        p_ids_all, p_len_all = tokenize_all(positives)
+        a_chunks = tokenize_all(anchors)
+        p_chunks = tokenize_all(positives)
         max_len = max(
-            int(a_len_all.max(initial=2)), int(p_len_all.max(initial=2))
+            (int(lens.max()) for _, lens in a_chunks + p_chunks if len(lens)),
+            default=2,
         )
         self.seq_len = bucket_length(max_len, cfg.max_seq_length)
-        a_ids_all = np.ascontiguousarray(a_ids_all[:, : self.seq_len])
-        p_ids_all = np.ascontiguousarray(p_ids_all[:, : self.seq_len])
+
+        def pack(chunks, n: int) -> tuple[np.ndarray, np.ndarray]:
+            # One padded [N, seq_len] id matrix + lengths vector per tower:
+            # per-epoch batch assembly becomes a single fancy-index (the old
+            # ragged-list storage cost a 324k-iteration Python re-pad loop
+            # EVERY epoch, ~3 s/epoch on a 2-core host).
+            ids_all = np.full((n, self.seq_len), tokenizer.pad_id, np.int32)
+            len_all = np.zeros(n, np.int64)
+            lo = 0
+            for ids, lens in chunks:
+                w = min(ids.shape[1], self.seq_len)
+                ids_all[lo : lo + len(ids), :w] = ids[:, :w]
+                len_all[lo : lo + len(ids)] = lens
+                lo += len(ids)
+            return ids_all, len_all
+
+        a_ids_all, a_len_all = pack(a_chunks, len(anchors))
+        p_ids_all, p_len_all = pack(p_chunks, len(positives))
+        del a_chunks, p_chunks
         logger.info(
             "  tokenized in %.1fs; padded seq len %d", time.time() - t0, self.seq_len
         )
@@ -605,7 +620,12 @@ class TwoTowerTrainer:
         # unaffected; only the bit pattern vs earlier threefry runs changes
         # (within the measured seed-variance band, docs/VALIDATION.md).
         # ITOR_DROPOUT_RNG=threefry restores the old stream exactly.
-        rng_impl = os.getenv("ITOR_DROPOUT_RNG", "rbg").strip() or "rbg"
+        rng_impl = os.getenv("ITOR_DROPOUT_RNG", "rbg").strip().lower() or "rbg"
+        if rng_impl not in ("rbg", "threefry", "unsafe_rbg"):
+            raise ValueError(
+                f"ITOR_DROPOUT_RNG={rng_impl!r}: expected rbg, threefry, or "
+                "unsafe_rbg"
+            )
         base_key = jax.random.key(cfg.seed, impl=rng_impl)
         global_step = (start_epoch - 1) * n_steps_epoch
 
@@ -624,9 +644,7 @@ class TwoTowerTrainer:
                 ]
             return tuple(jnp.asarray(x) for x in out)
 
-        import os as _os
-
-        profile_dir = _os.getenv("ITOR_PROFILE_DIR")
+        profile_dir = os.getenv("ITOR_PROFILE_DIR")
         profiling = False
 
         import itertools

@@ -202,11 +202,15 @@ def train_main() -> None:
             os.environ["ITOR_DISABLE_FUSED_LAYER"] = "1"
         # The fused path honors ITOR_FUSED_BWD / ITOR_FUSED_BWD_WGRAD: by
         # default both are on, i.e. the fully-fused Pallas bwd with in-kernel
-        # weight-grad accumulation.
+        # weight-grad accumulation — except on multi-device hosts, where
+        # _fused_backward always takes the split partitioned form (the wgrad
+        # accumulators have no batch dimension to shard along).
         if disable_fused:
             label_k = "unfused XLA fwd+bwd"
         elif os.getenv("ITOR_FUSED_BWD", "").strip() in ("0", "false"):
             label_k = "fused fwd + recompute bwd"
+        elif jax.device_count() > 1:
+            label_k = "fused fwd + split fused bwd (multi-dev)"
         elif os.getenv("ITOR_FUSED_BWD_WGRAD", "").strip() in ("0", "false"):
             label_k = "fused fwd + split fused bwd"
         else:
