@@ -54,6 +54,37 @@ def _env_on(name: str, default_on: bool = True) -> bool:
     return v not in ("0", "false") if default_on else v in ("1", "true")
 
 
+def bwd_supports(hidden: int, inter: int, seq: int, itemsize: int = 2,
+                 wgrads: bool = True) -> bool:
+    """VMEM feasibility gate for the backward kernel at bb=1.
+
+    The backward holds every weight matrix in VMEM (plus, in wgrads mode,
+    an f32 accumulator per weight), so large towers simply don't fit:
+    measured on v5e, MiniLM-L6 (H=384, I=1536) compiles in both forms while
+    mpnet-base-class (H=768, I=3072) fails Mosaic compilation in BOTH —
+    its bf16 weights alone are 14.2 MB and the wgrad accumulators another
+    28 MB. Callers fall back to the recompute-vjp (pure XLA) backward when
+    this returns False. The estimate is calibrated, not exact: weights +
+    accumulators + the bb=1 working set (qkv/dqkv scratch f32-equivalents,
+    hidden-width streams, the [seq, inter] FFN transient, and the
+    per-example score tiles), against a budget overridable via
+    ITOR_FUSED_BWD_MAXVMEM_MB.
+    """
+    import os
+
+    skv = -(-seq // 128) * 128
+    gemm_params = 4 * hidden * hidden + 2 * hidden * inter
+    wbytes = gemm_params * itemsize
+    accums = gemm_params * 4 if wgrads else 0
+    work = (
+        seq * (3 * hidden * 4 + 8 * hidden * itemsize)
+        + seq * inter * (4 + itemsize)
+        + seq * skv * 4 * 6
+    )
+    budget_mb = int(os.getenv("ITOR_FUSED_BWD_MAXVMEM_MB", "16") or 16)
+    return wbytes + accums + work <= (budget_mb << 20)
+
+
 def _erf(x):
     """Abramowitz-Stegun 7.1.26 rational erf approximation (|err| < 2e-6 in f32;
     invisible at bf16 storage precision). Mosaic has no erf/erfc lowering."""
@@ -1076,7 +1107,13 @@ def _fused_backward(x, bias, masks, weights, g, *, num_heads, scale, eps,
     batch dimension, so only the split path partitions along batch.
     """
     (qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b) = weights
-    wgrads = not multi and _env_on("ITOR_FUSED_BWD_WGRAD")
+    wgrads = (
+        not multi
+        and _env_on("ITOR_FUSED_BWD_WGRAD")
+        and bwd_supports(
+            x.shape[-1], w1.shape[-1], x.shape[1], x.dtype.itemsize, wgrads=True
+        )
+    )
     if wgrads:
         dx, *dw_f32 = _call_bwd(
             x, bias, g, *masks, *weights,
@@ -1208,7 +1245,10 @@ def _train_core(num_heads, scale, eps, interpret, multi, dropout):
 
     def fwd_rule(x, bias, *rest):
         masks, weights = rest[:n_masks], rest[n_masks:]
-        if _resid_on():
+        if _resid_on() and bwd_supports(
+            x.shape[-1], weights[6].shape[-1], x.shape[1],
+            x.dtype.itemsize, wgrads=True,
+        ):
             y, *resids = _call(
                 x, bias, *weights, *masks,
                 num_heads=num_heads, scale=scale, eps=eps,
@@ -1231,8 +1271,13 @@ def _train_core(num_heads, scale, eps, interpret, multi, dropout):
         # flagship 5-epoch metrics re-validated, docs/VALIDATION.md).
         # Multi-device meshes route through the custom_partitioning wrapper
         # so the kernel stays shard-local along batch under jit-GSPMD.
-        # ITOR_FUSED_BWD=0 is the opt-out back to the recompute-vjp path.
-        if _env_on("ITOR_FUSED_BWD"):
+        # ITOR_FUSED_BWD=0 is the opt-out back to the recompute-vjp path;
+        # towers whose weights don't fit the kernel's VMEM model (e.g.
+        # mpnet-base-class) fall back to it automatically (bwd_supports).
+        if _env_on("ITOR_FUSED_BWD") and bwd_supports(
+            x.shape[-1], weights[6].shape[-1], x.shape[1],
+            x.dtype.itemsize, wgrads=False,
+        ):
             dx, dw = _fused_backward(
                 x, bias, masks, weights, g,
                 num_heads=num_heads, scale=scale, eps=eps, interpret=interpret,

@@ -620,8 +620,8 @@ class TestFusedBackwardKernel:
     match jax.vjp through the per-head oracle — dx plus all 12 weight
     cotangents — across dropout on/off and K/V-padded sequence lengths."""
 
-    def _setup(self, rng, seq, batch=2):
-        hidden, inter, heads = 128, 256, 4
+    def _setup(self, rng, seq, batch=2, heads=4):
+        hidden, inter = 128, 256
         layer = TestFusedEncoderLayer._layer_params(
             TestFusedEncoderLayer(), rng, hidden, inter
         )
@@ -632,19 +632,25 @@ class TestFusedBackwardKernel:
         return x, mask, layer, heads
 
     @pytest.mark.parametrize(
-        "seq,dropout,wgrads",
+        "seq,dropout,wgrads,heads",
         [
-            (128, False, True), (128, True, True), (48, True, True),
+            (128, False, True, 4), (128, True, True, 4), (48, True, True, 4),
             # Split path (ITOR_FUSED_BWD_WGRAD=0 / multi-device): kernel
             # emits intermediate grads, wgrad GEMMs run in XLA.
-            (128, True, False), (48, True, False),
+            (128, True, False, 4), (48, True, False, 4),
+            # Other head-group geometries: head_dim 64 (hpg=2, the
+            # mpnet-base class) and head_dim 128 (hpg=1, degenerate
+            # block-diagonal — no expansion at all).
+            (128, True, True, 2), (128, True, True, 1),
         ],
     )
-    def test_all_grads_match_oracle_vjp(self, rng, seq, dropout, wgrads, monkeypatch):
+    def test_all_grads_match_oracle_vjp(
+        self, rng, seq, dropout, wgrads, heads, monkeypatch
+    ):
         from instacart_next_order_recommendation_tpu.ops import fused_layer
 
         monkeypatch.setenv("ITOR_FUSED_BWD_WGRAD", "1" if wgrads else "0")
-        x, mask, layer, heads = self._setup(rng, seq)
+        x, mask, layer, heads = self._setup(rng, seq, heads=heads)
         bias, weights = fused_layer._prep_inputs(x, mask, layer, x.dtype)
         kwargs = dict(num_heads=heads, scale=0.176, eps=1e-12)
         g = jnp.asarray(
@@ -703,6 +709,51 @@ class TestFusedBackwardKernel:
                 np.asarray(gk[1][name]), np.asarray(gr[1][name]), atol=3e-4,
                 err_msg=f"grad mismatch for {name}",
             )
+
+    def test_vmem_gate_rejects_large_towers(self, rng, monkeypatch):
+        """bwd_supports must accept the MiniLM geometry (both kernel forms
+        compile on v5e) and reject mpnet-base-class (measured Mosaic
+        compile failure in both forms: 14.2 MB of bf16 weights alone, plus
+        28 MB of wgrad accumulators); oversized towers must route to the
+        recompute-vjp fallback rather than a compile crash — grads still
+        correct vs the oracle."""
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        assert fused_layer.bwd_supports(384, 1536, 128, 2, wgrads=True)
+        assert fused_layer.bwd_supports(384, 1536, 128, 2, wgrads=False)
+        assert not fused_layer.bwd_supports(768, 3072, 128, 2, wgrads=True)
+        assert not fused_layer.bwd_supports(768, 3072, 128, 2, wgrads=False)
+
+        # Force the gate shut at the test's tiny shapes via the env budget:
+        # the custom_vjp must take the oracle path and still match it.
+        x, mask, layer, heads = self._setup(rng, 64, batch=2)
+        kwargs = dict(
+            dropout_key=jax.random.key(3), dropout_rate=0.1,
+            num_heads=heads, scale=0.176, eps=1e-12,
+        )
+
+        def loss(x_, l):
+            return jnp.sum(
+                fused_layer.fused_encoder_layer_train(x_, mask, l, **kwargs) ** 2
+            )
+
+        monkeypatch.setenv("ITOR_FUSED_BWD_MAXVMEM_MB", "0")
+        fused_layer._train_core.cache_clear()
+        called = []
+        orig = fused_layer._call_bwd
+        monkeypatch.setattr(
+            fused_layer, "_call_bwd",
+            lambda *a, **k: called.append(1) or orig(*a, **k),
+        )
+        g_gated = jax.grad(loss, argnums=(0, 1))(x, layer)
+        assert not called, "VMEM gate closed but the bwd kernel still ran"
+
+        monkeypatch.delenv("ITOR_FUSED_BWD_MAXVMEM_MB")
+        fused_layer._train_core.cache_clear()
+        g_open = jax.grad(loss, argnums=(0, 1))(x, layer)
+        np.testing.assert_allclose(
+            np.asarray(g_gated[0]), np.asarray(g_open[0]), atol=3e-4
+        )
 
     @pytest.mark.parametrize("seq", [64, 48])  # 48 pads K/V rows to 128
     def test_resid_saving_backward_matches_recompute(self, rng, seq, monkeypatch):
