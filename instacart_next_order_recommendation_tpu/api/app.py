@@ -106,7 +106,10 @@ def create_app(
     """
     app = App(title="Instacart Next-Order Recommendation API (TPU)")
     app.add_middleware(request_logging_middleware)
-    app.add_middleware(RateLimiter(rate_limit).middleware)
+    limiter = RateLimiter(rate_limit)
+    app.add_middleware(limiter.middleware)
+    # Socket server checks the limit before reading request bodies.
+    app.early_checks.append(limiter.early_check)
     if recommender_factory is not None:
         app.state["recommender_factory"] = recommender_factory
 

@@ -14,10 +14,13 @@ from __future__ import annotations
 
 import json
 import logging
+import os
+import socket
 import threading
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable, Optional
+from urllib.parse import parse_qsl
 
 logger = logging.getLogger(__name__)
 
@@ -39,6 +42,11 @@ class Request:
     body: bytes = b""
     client_ip: str = "127.0.0.1"
     state: dict = field(default_factory=dict)
+    # Parsed query-string parameters (first value per key). The reference's
+    # FastAPI routes are body-driven, but uvicorn still surfaces the query
+    # string; the stdlib server parses it off the request target here instead
+    # of silently dropping it.
+    query: dict[str, str] = field(default_factory=dict)
 
     def json(self) -> Any:
         if not self.body:
@@ -81,6 +89,11 @@ class App:
         self.title = title
         self.routes: dict[tuple[str, str], Handler] = {}
         self.middleware: list[Middleware] = []
+        # Header-only pre-checks the socket server runs BEFORE reading the
+        # request body (request.body is empty at that point). A check returns
+        # a Response to reject immediately — used by the rate limiter so an
+        # over-limit client cannot make the server buffer its payload.
+        self.early_checks: list[Callable[[Request], Optional[Response]]] = []
         self.state: dict[str, Any] = {}
         self.on_startup: list[Callable[[App], None]] = []
         self.on_shutdown: list[Callable[[App], None]] = []
@@ -156,6 +169,14 @@ class App:
             logger.exception("Unhandled error on %s %s", request.method, request.path)
             return Response(500, {"detail": "Internal Server Error"})
 
+    def check_early(self, request: Request) -> Optional[Response]:
+        """Run the header-only pre-checks; first rejection wins."""
+        for check in self.early_checks:
+            resp = check(request)
+            if resp is not None:
+                return resp
+        return None
+
 
 def _bind(mw: Middleware, nxt: Handler) -> Handler:
     def bound(req: Request) -> Response:
@@ -206,19 +227,106 @@ class TestClient:
         return self.request("POST", path, json_body=json, **kw)
 
 
-def serve(app: App, host: str = "0.0.0.0", port: int = 8000) -> None:
-    """Run the app on a threading HTTP server (blocks)."""
+class BoundedThreadingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a hard cap on concurrently-handled
+    connections.
+
+    The reference's robustness here comes from uvicorn
+    (/root/reference/Dockerfile:58-62); the stdlib ThreadingHTTPServer is
+    thread-per-connection with no bound, so a connection flood spawns
+    unbounded threads. This subclass gates `process_request` on a semaphore:
+    when all workers are busy, excess connections get an immediate
+    `503 Service Unavailable` and are closed instead of queuing forever.
+    """
+
+    daemon_threads = True
+
+    def __init__(self, addr, handler_cls, max_concurrency: int = 64,
+                 acquire_timeout: float = 0.5):
+        self._slots = threading.BoundedSemaphore(max_concurrency)
+        self._acquire_timeout = acquire_timeout
+        super().__init__(addr, handler_cls)
+
+    def process_request(self, request, client_address):
+        if not self._slots.acquire(timeout=self._acquire_timeout):
+            try:
+                request.sendall(
+                    b"HTTP/1.1 503 Service Unavailable\r\n"
+                    b"Content-Type: application/json\r\n"
+                    b"Content-Length: 31\r\n"
+                    b"Connection: close\r\n\r\n"
+                    b'{"detail": "Server overloaded"}'
+                )
+            except OSError:
+                pass
+            self.shutdown_request(request)
+            return
+        try:
+            super().process_request(request, client_address)
+        except BaseException:
+            self._slots.release()
+            raise
+
+    def process_request_thread(self, request, client_address):
+        try:
+            super().process_request_thread(request, client_address)
+        finally:
+            self._slots.release()
+
+
+def make_server(
+    app: App,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    max_concurrency: int | None = None,
+    socket_timeout: float | None = None,
+    max_body_bytes: int | None = None,
+) -> BoundedThreadingHTTPServer:
+    """Build the bounded HTTP server (started; caller runs serve_forever).
+
+    Bounds (overridable per-call or via env; see constants.py):
+    `HTTP_MAX_CONCURRENCY` concurrent connections (excess → fast 503),
+    `HTTP_SOCKET_TIMEOUT` seconds of per-connection socket inactivity
+    (slow clients can't pin a worker), `HTTP_MAX_BODY_BYTES` request-body
+    cap (oversize → 413 before the body is read). Rate-limit rejection also
+    happens before the body read, via `App.early_checks`.
+    """
+    from instacart_next_order_recommendation_tpu.constants import (
+        DEFAULT_HTTP_MAX_BODY_BYTES,
+        DEFAULT_HTTP_MAX_CONCURRENCY,
+        DEFAULT_HTTP_SOCKET_TIMEOUT,
+        ENV_HTTP_MAX_BODY_BYTES,
+        ENV_HTTP_MAX_CONCURRENCY,
+        ENV_HTTP_SOCKET_TIMEOUT,
+    )
+
+    def _env_num(name: str, default, cast):
+        raw = os.getenv(name)
+        if raw is None or not raw.strip():
+            return default
+        try:
+            return cast(raw)
+        except ValueError:
+            logger.warning("Invalid %s=%r; using %s", name, raw, default)
+            return default
+
+    if max_concurrency is None:
+        max_concurrency = _env_num(ENV_HTTP_MAX_CONCURRENCY, DEFAULT_HTTP_MAX_CONCURRENCY, int)
+    if socket_timeout is None:
+        socket_timeout = _env_num(ENV_HTTP_SOCKET_TIMEOUT, DEFAULT_HTTP_SOCKET_TIMEOUT, float)
+    if max_body_bytes is None:
+        max_body_bytes = _env_num(ENV_HTTP_MAX_BODY_BYTES, DEFAULT_HTTP_MAX_BODY_BYTES, int)
+
     app.startup()
 
     class _Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # socketserver honors this in setup(): connection.settimeout(timeout).
+        # A stalled read (slow/idle client) raises socket.timeout, which
+        # handle_one_request turns into close_connection.
+        timeout = socket_timeout
 
-        def _dispatch(self, method: str) -> None:
-            length = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(length) if length else b""
-            headers = {k.lower(): v for k, v in self.headers.items()}
-            req = Request(method, self.path.split("?")[0], headers, body, self.client_address[0])
-            resp = app.handle(req)
+        def _send(self, resp: Response) -> None:
             payload = resp.body_bytes()
             self.send_response(resp.status_code)
             self.send_header("Content-Type", resp.media_type)
@@ -227,6 +335,36 @@ def serve(app: App, host: str = "0.0.0.0", port: int = 8000) -> None:
                 self.send_header(k, v)
             self.end_headers()
             self.wfile.write(payload)
+
+        def _dispatch(self, method: str) -> None:
+            path, _, query_string = self.path.partition("?")
+            headers = {k.lower(): v for k, v in self.headers.items()}
+            query = dict(parse_qsl(query_string)) if query_string else {}
+            req = Request(method, path, headers, b"", self.client_address[0], query=query)
+
+            length = int(self.headers.get("Content-Length") or 0)
+            # Header-only rejections happen BEFORE the body read: the
+            # server never buffers payloads from over-limit or oversize
+            # requests. The unread body makes the connection unusable for
+            # keep-alive, so close it.
+            early = None
+            if length > max_body_bytes:
+                early = Response(413, {"detail": f"Request body too large (max {max_body_bytes} bytes)"})
+            else:
+                early = app.check_early(req)
+            if early is not None:
+                early.headers.setdefault("Connection", "close")
+                self.close_connection = True
+                self._send(early)
+                return
+
+            try:
+                req.body = self.rfile.read(length) if length else b""
+            except socket.timeout:
+                self.close_connection = True
+                return
+            resp = app.handle(req)
+            self._send(resp)
 
         def do_GET(self):
             self._dispatch("GET")
@@ -237,8 +375,25 @@ def serve(app: App, host: str = "0.0.0.0", port: int = 8000) -> None:
         def log_message(self, fmt, *args):  # route through logging, not stderr
             logger.debug("%s - %s", self.address_string(), fmt % args)
 
-    server = ThreadingHTTPServer((host, port), _Handler)
-    logger.info("Serving %s on %s:%d", app.title, host, port)
+    server = BoundedThreadingHTTPServer((host, port), _Handler, max_concurrency=max_concurrency)
+    logger.info(
+        "Serving %s on %s:%d (max_concurrency=%d, socket_timeout=%.1fs, max_body=%d)",
+        app.title, host, server.server_address[1], max_concurrency, socket_timeout, max_body_bytes,
+    )
+    return server
+
+
+def serve(
+    app: App,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    max_concurrency: int | None = None,
+    socket_timeout: float | None = None,
+    max_body_bytes: int | None = None,
+) -> None:
+    """Run the app on a bounded threading HTTP server (blocks). See
+    `make_server` for the bound semantics and env knobs."""
+    server = make_server(app, host, port, max_concurrency, socket_timeout, max_body_bytes)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

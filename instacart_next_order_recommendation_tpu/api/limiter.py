@@ -63,9 +63,35 @@ class RateLimiter:
                     del self._events[k]
             return True
 
+    def over_limit(self, key: str) -> bool:
+        """Non-mutating check: True if a request now would be rejected.
+
+        Used by the socket server's header-only pre-check so over-limit
+        clients are refused BEFORE their request body is read; it must not
+        record the request — the middleware (which runs only for requests
+        that pass) does the recording."""
+        now = time.monotonic()
+        with self._lock:
+            window = self._events.get(key)
+            if not window:
+                return False
+            cutoff = now - self.period
+            while window and window[0] < cutoff:
+                window.popleft()
+            return len(window) >= self.limit
+
+    def _reject(self) -> Response:
+        return Response(429, {"detail": f"Rate limit exceeded: {self.limit}/{int(self.period)}s"})
+
+    def early_check(self, request: Request) -> Response | None:
+        """Header-only pre-check for App.early_checks (body not yet read)."""
+        if request.path in EXEMPT_PATHS:
+            return None
+        return self._reject() if self.over_limit(request.client_ip) else None
+
     def middleware(self, request: Request, nxt):
         if request.path in EXEMPT_PATHS:
             return nxt(request)
         if not self.allow(request.client_ip):
-            return Response(429, {"detail": f"Rate limit exceeded: {self.limit}/{int(self.period)}s"})
+            return self._reject()
         return nxt(request)

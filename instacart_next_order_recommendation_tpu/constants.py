@@ -32,6 +32,17 @@ ENV_TOPK_EXTRACTION = "ITOR_TOPK_EXTRACTION"
 # Top-k kernel dispatch override: "auto" (measured k~32 crossover, default),
 # "blocked" (force the Pallas blocked kernel), "dense" (force scores+lax.top_k).
 ENV_TOPK_DISPATCH = "ITOR_TOPK_DISPATCH"
+# HTTP server bounds (the robustness knobs uvicorn provides the reference,
+# /root/reference/Dockerfile:58-62): max concurrently-handled connections
+# (excess gets a fast 503), per-connection socket timeout in seconds (slow
+# clients cannot pin a worker), and max accepted request-body size in bytes
+# (oversize gets 413 before the body is read).
+ENV_HTTP_MAX_CONCURRENCY = "HTTP_MAX_CONCURRENCY"
+ENV_HTTP_SOCKET_TIMEOUT = "HTTP_SOCKET_TIMEOUT"
+ENV_HTTP_MAX_BODY_BYTES = "HTTP_MAX_BODY_BYTES"
+DEFAULT_HTTP_MAX_CONCURRENCY = 64
+DEFAULT_HTTP_SOCKET_TIMEOUT = 30.0
+DEFAULT_HTTP_MAX_BODY_BYTES = 64 * 1024 * 1024  # corpus uploads are ~10s of MB
 
 # Config files (YAML)
 CONFIG_DIR = PROJECT_ROOT / "configs"

@@ -55,7 +55,7 @@ def _env_on(name: str, default_on: bool = True) -> bool:
 
 
 def bwd_supports(hidden: int, inter: int, seq: int, itemsize: int = 2,
-                 wgrads: bool = True) -> bool:
+                 wgrads: bool = True, batch: int = 0) -> bool:
     """VMEM feasibility gate for the backward kernel at bb=1.
 
     The backward holds every weight matrix in VMEM (plus, in wgrads mode,
@@ -69,6 +69,13 @@ def bwd_supports(hidden: int, inter: int, seq: int, itemsize: int = 2,
     hidden-width streams, the [seq, inter] FFN transient, and the
     per-example score tiles), against a budget overridable via
     ITOR_FUSED_BWD_MAXVMEM_MB.
+
+    ``batch`` (the per-SHARD batch reaching the kernel) matters only in the
+    split form (wgrads=False): its four LayerNorm scale/bias partial outputs
+    are whole-array [B, H] f32 blocks with a constant index map, so their
+    VMEM cost grows linearly with batch (4*B*H*4 bytes ≈ 6.3 MB at
+    B=1024/H=384). Oversized batches must route to the recompute-vjp
+    fallback rather than fail Mosaic compilation.
     """
     import os
 
@@ -76,13 +83,14 @@ def bwd_supports(hidden: int, inter: int, seq: int, itemsize: int = 2,
     gemm_params = 4 * hidden * hidden + 2 * hidden * inter
     wbytes = gemm_params * itemsize
     accums = gemm_params * 4 if wgrads else 0
+    partials = 0 if wgrads else 4 * batch * hidden * 4
     work = (
         seq * (3 * hidden * 4 + 8 * hidden * itemsize)
         + seq * inter * (4 + itemsize)
         + seq * skv * 4 * 6
     )
     budget_mb = int(os.getenv("ITOR_FUSED_BWD_MAXVMEM_MB", "16") or 16)
-    return wbytes + accums + work <= (budget_mb << 20)
+    return wbytes + accums + partials + work <= (budget_mb << 20)
 
 
 def _erf(x):
@@ -1274,9 +1282,15 @@ def _train_core(num_heads, scale, eps, interpret, multi, dropout):
         # ITOR_FUSED_BWD=0 is the opt-out back to the recompute-vjp path;
         # towers whose weights don't fit the kernel's VMEM model (e.g.
         # mpnet-base-class) fall back to it automatically (bwd_supports).
+        # Gate on the SPLIT form's footprint (wgrads=False) including its
+        # batch-scaled [B, H] LN partials; per-shard batch on multi-device
+        # meshes (the partitioned call shards batch over the dp-only mesh,
+        # so device_count is the shard count — TP meshes never reach this
+        # path, they use the shard_map step with standalone kernels).
+        shard_batch = x.shape[0] // jax.device_count() if multi else x.shape[0]
         if _env_on("ITOR_FUSED_BWD") and bwd_supports(
             x.shape[-1], weights[6].shape[-1], x.shape[1],
-            x.dtype.itemsize, wgrads=False,
+            x.dtype.itemsize, wgrads=False, batch=max(1, shard_batch),
         ):
             dx, dw = _fused_backward(
                 x, bias, masks, weights, g,

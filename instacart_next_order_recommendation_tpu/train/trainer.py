@@ -84,6 +84,10 @@ _PRESETS = {"minilm-l6": MINILM_L6, "mpnet-base": MPNET_BASE_CLASS}
 
 BEST_METRIC = "ndcg_at_10"  # reference selects by cosine_ndcg@10 (:219-220)
 
+# Recognized dropout key streams (ITOR_DROPOUT_RNG / train_state.json
+# "rng_impl"). Order is the broadcast wire code for multi-host resume.
+_RNG_IMPLS = ("rbg", "threefry", "unsafe_rbg")
+
 
 def _tower_digest(tower_cfg, tokenizer) -> bytes:
     """sha256 over (architecture config, vocab, pad id): the inputs that must
@@ -414,13 +418,18 @@ class TwoTowerTrainer:
             key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
         )
 
-    def _save_epoch_checkpoint(self, epoch, params, opt_state, tower_cfg, tokenizer, history):
+    def _save_epoch_checkpoint(
+        self, epoch, params, opt_state, tower_cfg, tokenizer, history, rng_impl="rbg"
+    ):
         ckpt_dir = self.cfg.output_dir / f"checkpoint-epoch{epoch}"
         save_tower(ckpt_dir, params, tower_cfg, tokenizer)
         host_opt = jax.tree.map(np.asarray, opt_state)
         (ckpt_dir / "opt_state.msgpack").write_bytes(serialization.to_bytes(host_opt))
+        # rng_impl is recorded so a resumed run stays on the checkpoint's
+        # dropout key stream even if the ITOR_DROPOUT_RNG default changes
+        # between runs (the stream is part of the trajectory).
         (ckpt_dir / "train_state.json").write_text(
-            json.dumps({"epoch": epoch, "history": history})
+            json.dumps({"epoch": epoch, "history": history, "rng_impl": rng_impl})
         )
         # keep-N retention (reference save_total_limit=2, :236) — but never
         # prune the best-so-far checkpoint: the end-of-run export loads it
@@ -539,6 +548,7 @@ class TwoTowerTrainer:
         opt_state = jax.jit(tx.init)(params)
         start_epoch = 1
         history: list[dict] = []
+        resume_rng_impl: str | None = None  # checkpoint's recorded key stream
 
         if cfg.resume:
             if jax.process_count() > 1:
@@ -552,12 +562,20 @@ class TwoTowerTrainer:
 
                 ckpt = self._find_resume_checkpoint() if is_main else None
                 last_epoch = 0
+                rng_code = -1
                 if is_main and ckpt is not None:
                     state = json.loads((ckpt / "train_state.json").read_text())
                     last_epoch = int(state["epoch"])
+                    if state.get("rng_impl") in _RNG_IMPLS:
+                        rng_code = _RNG_IMPLS.index(state["rng_impl"])
                 last_epoch = int(
                     multihost_utils.broadcast_one_to_all(np.int32(last_epoch))
                 )
+                rng_code = int(
+                    multihost_utils.broadcast_one_to_all(np.int32(rng_code))
+                )
+                if rng_code >= 0:
+                    resume_rng_impl = _RNG_IMPLS[rng_code]
                 if last_epoch > 0:
                     if is_main:
                         params, tower_cfg, tokenizer = load_tower(ckpt)
@@ -600,6 +618,8 @@ class TwoTowerTrainer:
                     state = json.loads((ckpt / "train_state.json").read_text())
                     start_epoch = state["epoch"] + 1
                     history = state.get("history", [])
+                    if state.get("rng_impl") in _RNG_IMPLS:
+                        resume_rng_impl = state["rng_impl"]
                     logger.info("Resuming from %s (epoch %d)", ckpt.name, start_epoch)
 
         logger.info(
@@ -620,13 +640,40 @@ class TwoTowerTrainer:
         # unaffected; only the bit pattern vs earlier threefry runs changes
         # (within the measured seed-variance band, docs/VALIDATION.md).
         # ITOR_DROPOUT_RNG=threefry restores the old stream exactly.
-        rng_impl = os.getenv("ITOR_DROPOUT_RNG", "rbg").strip().lower() or "rbg"
-        if rng_impl not in ("rbg", "threefry", "unsafe_rbg"):
+        #
+        # Reproducibility caveat: rbg rides XLA's RngBitGenerator, whose bit
+        # output is NOT guaranteed stable across JAX/XLA versions or
+        # backends; threefry IS. Seed-pinned validation runs that must
+        # reproduce bit-identically across toolchain upgrades should set
+        # ITOR_DROPOUT_RNG=threefry (see the knob table in ARCHITECTURE.md).
+        env_rng = os.getenv("ITOR_DROPOUT_RNG")
+        rng_impl = (env_rng or "rbg").strip().lower() or "rbg"
+        if rng_impl not in _RNG_IMPLS:
             raise ValueError(
-                f"ITOR_DROPOUT_RNG={rng_impl!r}: expected rbg, threefry, or "
-                "unsafe_rbg"
+                f"ITOR_DROPOUT_RNG={rng_impl!r}: expected one of {_RNG_IMPLS}"
             )
-        base_key = jax.random.key(cfg.seed, impl=rng_impl)
+        # A resumed run must stay on the checkpoint's recorded key stream —
+        # silently switching mid-run would change the dropout trajectory.
+        # An explicit env override wins (with a loud warning); otherwise the
+        # checkpoint's stream is adopted.
+        if resume_rng_impl is not None and resume_rng_impl != rng_impl:
+            if env_rng is not None:
+                logger.warning(
+                    "Resuming with ITOR_DROPOUT_RNG=%s but the checkpoint "
+                    "recorded rng_impl=%s — the dropout stream changes at "
+                    "the resume boundary.", rng_impl, resume_rng_impl,
+                )
+            else:
+                logger.info(
+                    "Resume: adopting the checkpoint's rng_impl=%s "
+                    "(current default is %s)", resume_rng_impl, rng_impl,
+                )
+                rng_impl = resume_rng_impl
+        # JAX's registry name for threefry is "threefry2x32"; the knob and
+        # train_state.json use the short name.
+        base_key = jax.random.key(
+            cfg.seed, impl={"threefry": "threefry2x32"}.get(rng_impl, rng_impl)
+        )
         global_step = (start_epoch - 1) * n_steps_epoch
 
         col = np.arange(self.seq_len)[None, :]
@@ -735,7 +782,10 @@ class TwoTowerTrainer:
                 )
             history.append(entry)
             if is_main:
-                self._save_epoch_checkpoint(epoch, params, opt_state, tower_cfg, tokenizer, history)
+                self._save_epoch_checkpoint(
+                    epoch, params, opt_state, tower_cfg, tokenizer, history,
+                    rng_impl=rng_impl,
+                )
                 (cfg.output_dir / "eval_history.json").write_text(json.dumps(history, indent=2))
 
         # Best-checkpoint selection by NDCG@10 (reference :219-220, :238-239).

@@ -205,13 +205,18 @@ def train_main() -> None:
         # weight-grad accumulation — except on multi-device hosts, where
         # _fused_backward always takes the split partitioned form (the wgrad
         # accumulators have no batch dimension to shard along).
+        # Labels reuse the kernel's own knob parser (fused_layer._env_on,
+        # case-folded) so e.g. ITOR_FUSED_BWD=FALSE is labeled the same way
+        # it dispatches.
+        from instacart_next_order_recommendation_tpu.ops.fused_layer import _env_on
+
         if disable_fused:
             label_k = "unfused XLA fwd+bwd"
-        elif os.getenv("ITOR_FUSED_BWD", "").strip() in ("0", "false"):
+        elif not _env_on("ITOR_FUSED_BWD"):
             label_k = "fused fwd + recompute bwd"
         elif jax.device_count() > 1:
             label_k = "fused fwd + split fused bwd (multi-dev)"
-        elif os.getenv("ITOR_FUSED_BWD_WGRAD", "").strip() in ("0", "false"):
+        elif not _env_on("ITOR_FUSED_BWD_WGRAD"):
             label_k = "fused fwd + split fused bwd"
         else:
             label_k = "fused fwd + fully-fused bwd"

@@ -118,6 +118,70 @@ def drive_phase(
     return lat
 
 
+def drive_flood_phase(
+    url: str,
+    port: int,
+    queries: list[str],
+    seconds: float,
+    flood_connections: int,
+) -> dict:
+    """Connection-flood phase: open ``flood_connections`` idle sockets (slow
+    clients that never send a request), then keep driving legitimate traffic.
+
+    With the bounded server (api/http.py::BoundedThreadingHTTPServer) the
+    idle sockets saturate the worker slots, excess legitimate requests get a
+    fast 503 instead of queuing, and the per-connection socket timeout
+    reclaims the flooded slots — after which traffic must succeed again.
+    Returns outcome counts + latency stats of successful requests.
+    """
+    import socket as socket_mod
+
+    import httpx
+
+    flood: list = []
+    for _ in range(flood_connections):
+        try:
+            flood.append(socket_mod.create_connection(("127.0.0.1", port), timeout=5))
+        except OSError:
+            break
+
+    ok_lat: list[float] = []
+    n_503 = 0
+    n_err = 0
+    stop = time.time() + seconds
+    with httpx.Client() as client:
+        i = 0
+        while time.time() < stop:
+            q = queries[i % len(queries)]
+            t0 = time.time()
+            try:
+                r = client.post(
+                    f"{url}/recommend", json={"user_context": q, "top_k": 10}, timeout=10
+                )
+                if r.status_code == 200:
+                    ok_lat.append(time.time() - t0)
+                elif r.status_code == 503:
+                    n_503 += 1
+                else:
+                    n_err += 1
+            except httpx.HTTPError:
+                n_err += 1
+            i += 1
+            time.sleep(0.05)
+    for s in flood:
+        try:
+            s.close()
+        except OSError:
+            pass
+    return {
+        "flood_connections": len(flood),
+        "n_ok": len(ok_lat),
+        "n_503": n_503,
+        "n_err": n_err,
+        **{k: v for k, v in pct(ok_lat).items() if k != "n"},
+    }
+
+
 def pct(lat: list[float]) -> dict:
     if not lat:
         return {"n": 0}
@@ -138,6 +202,17 @@ def main() -> None:
     parser.add_argument("--burst-threads", type=int, default=16)
     parser.add_argument("--window-ms", type=float, default=4.0)
     parser.add_argument("--port", type=int, default=8191)
+    parser.add_argument(
+        "--flood-connections", type=int, default=96,
+        help="idle connections opened in the flood phase (> max-concurrency "
+        "saturates the worker slots); 0 skips the phase",
+    )
+    parser.add_argument("--max-concurrency", type=int, default=64)
+    parser.add_argument(
+        "--socket-timeout", type=float, default=5.0,
+        help="server-side per-connection socket timeout (s); the flood "
+        "phase relies on this to reclaim slots held by idle clients",
+    )
     parser.add_argument(
         "--platform", default="default", choices=["default", "cpu"],
         help="cpu = single-CPU-device backend (CI); default = this "
@@ -173,7 +248,13 @@ def main() -> None:
 
     app = create_app(model_dir=model_dir, corpus_path=corpus_path)
     threading.Thread(
-        target=serve, args=(app, "127.0.0.1", args.port), daemon=True
+        target=serve,
+        args=(app, "127.0.0.1", args.port),
+        kwargs={
+            "max_concurrency": args.max_concurrency,
+            "socket_timeout": args.socket_timeout,
+        },
+        daemon=True,
     ).start()
     url = f"http://127.0.0.1:{args.port}"
 
@@ -243,6 +324,28 @@ def main() -> None:
         summary["no_window_latch"] = bool(
             lone_after["windowed"] <= max(3, 0.05 * lone_after["n"])
         )
+
+    # Connection-flood phase (after the latch checks so the flood can't
+    # perturb them): idle sockets saturate the bounded worker pool; the
+    # server must shed load with fast 503s, reclaim slots via the socket
+    # timeout, and then serve normally again.
+    if args.flood_connections > 0:
+        flood_row = drive_flood_phase(
+            url, args.port, queries,
+            seconds=max(args.phase_seconds, 3 * args.socket_timeout),
+            flood_connections=args.flood_connections,
+        )
+        recover = pct(drive_phase(url, queries, seconds=min(args.phase_seconds, 10.0),
+                                  concurrency=1, gap_s=0.05))
+        flood_row["recovered_p50_ms"] = recover.get("p50_ms")
+        summary["phases"]["flood"] = flood_row
+        # Survival = some requests completed despite the flood AND the
+        # post-flood sequential phase looks like the pre-burst lone phase.
+        summary["flood_survived"] = bool(
+            flood_row["n_ok"] > 0 and recover.get("n", 0) > 0
+        )
+        print(json.dumps({"phase": "flood", **flood_row}), flush=True)
+
     print(json.dumps(summary), flush=True)
 
 

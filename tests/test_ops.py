@@ -723,6 +723,13 @@ class TestFusedBackwardKernel:
         assert fused_layer.bwd_supports(384, 1536, 128, 2, wgrads=False)
         assert not fused_layer.bwd_supports(768, 3072, 128, 2, wgrads=True)
         assert not fused_layer.bwd_supports(768, 3072, 128, 2, wgrads=False)
+        # Split form: the four [B, H] f32 LN partials scale with batch
+        # (4*B*H*4 bytes). Flagship batches fit; an absurd batch must route
+        # to the fallback instead of failing Mosaic compilation. The wgrads
+        # form has no batch-scaled outputs, so batch must not affect it.
+        assert fused_layer.bwd_supports(384, 1536, 128, 2, wgrads=False, batch=1024)
+        assert not fused_layer.bwd_supports(384, 1536, 128, 2, wgrads=False, batch=2048)
+        assert fused_layer.bwd_supports(384, 1536, 128, 2, wgrads=True, batch=100_000)
 
         # Force the gate shut at the test's tiny shapes via the env budget:
         # the custom_vjp must take the oracle path and still match it.

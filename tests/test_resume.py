@@ -125,3 +125,45 @@ def test_resume_with_no_checkpoint_starts_fresh(tmp_path, tiny_preset):
         )
     ).train()
     assert [h["epoch"] for h in result["history"]] == [1]
+
+
+def test_resume_adopts_checkpoint_rng_impl(tmp_path, tiny_preset, monkeypatch, caplog):
+    """train_state.json records the dropout key stream; a resumed run with no
+    explicit ITOR_DROPOUT_RNG must adopt the checkpoint's stream rather than
+    the current default (the stream is part of the trajectory)."""
+    import logging
+
+    data_dir = generate_instacart_csvs(tmp_path / "data", n_users=40, n_products=60, seed=7)
+    prep = InstacartDataPrep(data_dir=data_dir, output_dir=tmp_path / "p", eval_frac=0.25)
+    prep.prepare()
+
+    base_cfg = {
+        "processed_dir": str(prep.effective_output_dir()),
+        "output_dir": str(tmp_path / "model"),
+        "max_seq_length": 32,
+        "epochs": 1,
+        "train_batch_size": 8,
+        "eval_batch_size": 16,
+        "vocab_size": 500,
+        "run_information_retrieval_evaluator": False,
+    }
+    # First run pinned to threefry (the cross-version-stable stream).
+    monkeypatch.setenv("ITOR_DROPOUT_RNG", "threefry")
+    TwoTowerTrainer(TrainConfig(base_cfg)).train()
+    state = json.loads(
+        (tmp_path / "model" / "checkpoint-epoch1" / "train_state.json").read_text()
+    )
+    assert state["rng_impl"] == "threefry"
+
+    # Resume WITHOUT the env var: must adopt threefry from the checkpoint
+    # (and record it again), not fall back to the rbg default.
+    monkeypatch.delenv("ITOR_DROPOUT_RNG")
+    with caplog.at_level(logging.INFO):
+        TwoTowerTrainer(
+            TrainConfig({**base_cfg, "epochs": 2, "resume": True})
+        ).train()
+    assert "adopting the checkpoint's rng_impl=threefry" in caplog.text
+    state2 = json.loads(
+        (tmp_path / "model" / "checkpoint-epoch2" / "train_state.json").read_text()
+    )
+    assert state2["rng_impl"] == "threefry"

@@ -28,6 +28,13 @@ def test_soak_no_latch(tmp_path):
             "--burst-threads", "8",
             "--port", "8377",
             "--platform", "cpu",
+            # Scaled-down flood: 24 idle connections against 12 worker slots
+            # with a 1 s socket timeout — keeps the phase ~3-6 s. The cap
+            # must exceed the burst phase's 8 keep-alive connections (each
+            # holds a worker slot for its lifetime, as under uvicorn).
+            "--flood-connections", "24",
+            "--max-concurrency", "12",
+            "--socket-timeout", "1.0",
         ],
         env=env,
         capture_output=True,
@@ -50,3 +57,8 @@ def test_soak_no_latch(tmp_path):
     assert summary.get("no_window_latch", True), (
         f"window latched on after bursts: {phases['lone_after_burst']}"
     )
+    # Connection flood: server sheds load (bounded pool) and recovers after
+    # the socket timeout reclaims the flooded slots.
+    flood = phases["flood"]
+    assert summary["flood_survived"], f"server did not survive the flood: {flood}"
+    assert flood["n_ok"] > 0 and flood["recovered_p50_ms"] is not None
