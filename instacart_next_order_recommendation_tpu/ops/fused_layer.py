@@ -1101,33 +1101,70 @@ def _call_bwd_partitioned(num_heads, scale, eps, interpret, dropout=False):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _call_bwd_wgrads_partitioned(num_heads, scale, eps, interpret, dropout=False):
+    """custom_partitioning wrapper for the FULLY-FUSED backward (in-kernel
+    weight-grad accumulation) on multi-device meshes: batch partitionable,
+    weights replicated. Each shard runs the wgrads kernel on its local rows,
+    so its 12 f32 accumulator outputs are weight-grad PARTIALS over the
+    local batch; the lowering all-reduces them over the axes that shard the
+    batch — one psum per weight, the same collective data parallelism
+    already implies (and the same one the split form's sharded XLA wgrad
+    GEMMs lower to). This removes the r3 limitation that kept multi-device
+    meshes on the split path (~10%/step slower at B=512; PERFORMANCE.md)."""
+    from instacart_next_order_recommendation_tpu.ops.partition import batch_partitioned
+
+    def impl(*args):
+        return _call_bwd(*args, num_heads=num_heads, scale=scale, eps=eps,
+                         interpret=interpret, wgrads=True)
+
+    rule = (
+        "b s h, b u8 s2, b s h"
+        + (", b s h, b s h" if dropout else "")
+        + ", a c, u0 c, d e, u1 e, u2 f, u3 g, k l, u4 l, m n, u5 n, u6 p,"
+        " u7 r"
+        " -> b s h, a c, u0 c, d e, u1 e, u2 f, u3 g, k l, u4 l, m n, u5 n,"
+        " u6 p, u7 r"
+    )
+    return batch_partitioned(
+        impl,
+        rule=rule,
+        # Shardy requires these sorted by first appearance in the rule.
+        need_replication=(
+            "s", "h", "u8", "s2", "a", "c", "u0", "d", "e", "u1", "u2", "f",
+            "u3", "g", "k", "l", "u4", "m", "n", "u5", "u6", "p", "u7", "r",
+        ),
+        reduce_outputs=tuple(range(1, 13)),  # the 12 weight-grad partials
+    )
+
+
 def _fused_backward(x, bias, masks, weights, g, *, num_heads, scale, eps,
-                    interpret, multi=False, resids=()):
+                    interpret, multi=False, resids=(), wgrads=False):
     """Full vjp of the layer core w.r.t. (x, *weights).
 
-    Default (single-device): the fully-fused kernel — weight grads
-    accumulate in VMEM-resident f32 blocks across the grid, so the ONLY
-    [B, S, *] tensor that touches HBM is dx (measured r3 on v5e: the split
-    path streams ~1 GB/layer of intermediates at B=1024 just to feed the
-    XLA wgrad GEMMs). ``ITOR_FUSED_BWD_WGRAD=0`` opts back into the split
-    path (kernel emits intermediate grads, wgrad GEMMs run in XLA), which
-    is also what multi-device meshes use: the wgrad accumulators have no
-    batch dimension, so only the split path partitions along batch.
+    ``wgrads=True`` (default dispatch when the accumulators fit VMEM): the
+    fully-fused kernel — weight grads accumulate in VMEM-resident f32
+    blocks across the grid, so the ONLY [B, S, *] tensor that touches HBM
+    is dx (measured r3 on v5e: the split path streams ~1 GB/layer of
+    intermediates at B=1024 just to feed the XLA wgrad GEMMs). On
+    multi-device meshes the kernel runs shard-local and the wrapper psums
+    the 12 weight-grad partials (_call_bwd_wgrads_partitioned).
+    ``ITOR_FUSED_BWD_WGRAD=0`` opts back into the split path (kernel emits
+    intermediate grads, wgrad GEMMs run in XLA).
     """
     (qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b) = weights
-    wgrads = (
-        not multi
-        and _env_on("ITOR_FUSED_BWD_WGRAD")
-        and bwd_supports(
-            x.shape[-1], w1.shape[-1], x.shape[1], x.dtype.itemsize, wgrads=True
-        )
-    )
     if wgrads:
-        dx, *dw_f32 = _call_bwd(
-            x, bias, g, *masks, *weights,
-            num_heads=num_heads, scale=scale, eps=eps, interpret=interpret,
-            wgrads=True, resids=resids,
-        )
+        if multi:
+            call = _call_bwd_wgrads_partitioned(
+                num_heads, scale, eps, interpret, dropout=bool(masks)
+            )
+            dx, *dw_f32 = call(x, bias, g, *masks, *weights)
+        else:
+            dx, *dw_f32 = _call_bwd(
+                x, bias, g, *masks, *weights,
+                num_heads=num_heads, scale=scale, eps=eps, interpret=interpret,
+                wgrads=True, resids=resids,
+            )
         dw = tuple(d.astype(w.dtype) for d, w in zip(dw_f32, weights))
         return dx, dw
     if multi:
@@ -1282,20 +1319,28 @@ def _train_core(num_heads, scale, eps, interpret, multi, dropout):
         # ITOR_FUSED_BWD=0 is the opt-out back to the recompute-vjp path;
         # towers whose weights don't fit the kernel's VMEM model (e.g.
         # mpnet-base-class) fall back to it automatically (bwd_supports).
-        # Gate on the SPLIT form's footprint (wgrads=False) including its
-        # batch-scaled [B, H] LN partials; per-shard batch on multi-device
-        # meshes (the partitioned call shards batch over the dp-only mesh,
-        # so device_count is the shard count — TP meshes never reach this
-        # path, they use the shard_map step with standalone kernels).
-        shard_batch = x.shape[0] // jax.device_count() if multi else x.shape[0]
-        if _env_on("ITOR_FUSED_BWD") and bwd_supports(
+        # Feasibility gates per kernel form. The wgrads form's footprint is
+        # batch-independent (accumulators only); the split form's includes
+        # its batch-scaled [B, H] f32 LN partials — gated on x.shape[0],
+        # which is the per-shard batch inside shard_map and (conservatively)
+        # the global batch under jit-GSPMD. Preference order: fully-fused
+        # wgrads > split > recompute-vjp.
+        fits_wgrads = (
+            _env_on("ITOR_FUSED_BWD_WGRAD")
+            and bwd_supports(
+                x.shape[-1], weights[6].shape[-1], x.shape[1],
+                x.dtype.itemsize, wgrads=True,
+            )
+        )
+        fits_split = bwd_supports(
             x.shape[-1], weights[6].shape[-1], x.shape[1],
-            x.dtype.itemsize, wgrads=False, batch=max(1, shard_batch),
-        ):
+            x.dtype.itemsize, wgrads=False, batch=x.shape[0],
+        )
+        if _env_on("ITOR_FUSED_BWD") and (fits_wgrads or fits_split):
             dx, dw = _fused_backward(
                 x, bias, masks, weights, g,
                 num_heads=num_heads, scale=scale, eps=eps, interpret=interpret,
-                multi=multi, resids=resids,
+                multi=multi, resids=resids, wgrads=fits_wgrads,
             )
             return (dx, *zeros, *dw)
         _, vjp = jax.vjp(

@@ -28,6 +28,7 @@ def batch_partitioned(
     impl: Callable,
     rule: str,
     need_replication: Sequence[str],
+    reduce_outputs: Sequence[int] = (),
 ) -> Callable:
     """Wrap ``impl`` so GSPMD partitions it along the rule's free factors.
 
@@ -39,14 +40,35 @@ def batch_partitioned(
         need_replication: factors that must stay replicated because the
             kernel needs the full extent (e.g. the softmax/seq axis, feature
             axes that are reduced or normalized over).
+        reduce_outputs: indices of outputs that the per-shard kernel produces
+            as PARTIALS over the batch rows it saw (e.g. in-kernel weight-grad
+            accumulators). The lowering all-reduces them over whatever mesh
+            axes shard dim 0 of operand 0 — the grad psum data parallelism
+            implies. These outputs must be replicated under the rule (all
+            their factors in ``need_replication``).
     """
     wrapped = custom_partitioning(impl)
 
     def partition(mesh, arg_shapes, result_shape):
         # The propagation already satisfied `rule`; run the kernel on the
-        # local shards as-is.
+        # local shards, then all-reduce the declared partial outputs over
+        # the batch-sharding axes (the psum the split form gets implicitly
+        # from XLA's sharded wgrad GEMM contractions).
+        reduce_axes: tuple = ()
+        if reduce_outputs:
+            spec = arg_shapes[0].sharding.spec
+            dim0 = spec[0] if len(spec) > 0 else None
+            if dim0 is not None:
+                reduce_axes = tuple(dim0) if isinstance(dim0, (tuple, list)) else (dim0,)
+
         def lower_fn(*args):
-            return impl(*args)
+            out = impl(*args)
+            if reduce_axes:
+                out = list(out)
+                for i in reduce_outputs:
+                    out[i] = jax.lax.psum(out[i], reduce_axes)
+                out = tuple(out)
+            return out
 
         return (
             mesh,

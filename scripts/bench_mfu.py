@@ -202,9 +202,8 @@ def train_main() -> None:
             os.environ["ITOR_DISABLE_FUSED_LAYER"] = "1"
         # The fused path honors ITOR_FUSED_BWD / ITOR_FUSED_BWD_WGRAD: by
         # default both are on, i.e. the fully-fused Pallas bwd with in-kernel
-        # weight-grad accumulation — except on multi-device hosts, where
-        # _fused_backward always takes the split partitioned form (the wgrad
-        # accumulators have no batch dimension to shard along).
+        # weight-grad accumulation — on multi-device meshes it runs
+        # shard-local with one psum per weight-grad partial (r4).
         # Labels reuse the kernel's own knob parser (fused_layer._env_on,
         # case-folded) so e.g. ITOR_FUSED_BWD=FALSE is labeled the same way
         # it dispatches.
@@ -214,10 +213,12 @@ def train_main() -> None:
             label_k = "unfused XLA fwd+bwd"
         elif not _env_on("ITOR_FUSED_BWD"):
             label_k = "fused fwd + recompute bwd"
-        elif jax.device_count() > 1:
-            label_k = "fused fwd + split fused bwd (multi-dev)"
         elif not _env_on("ITOR_FUSED_BWD_WGRAD"):
             label_k = "fused fwd + split fused bwd"
+        elif jax.device_count() > 1:
+            # Since r4 the fully-fused form partitions along batch on
+            # multi-device meshes too (per-shard wgrad partials + psum).
+            label_k = "fused fwd + fully-fused bwd (multi-dev)"
         else:
             label_k = "fused fwd + fully-fused bwd"
         for B in batches:

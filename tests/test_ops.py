@@ -649,7 +649,6 @@ class TestFusedBackwardKernel:
     ):
         from instacart_next_order_recommendation_tpu.ops import fused_layer
 
-        monkeypatch.setenv("ITOR_FUSED_BWD_WGRAD", "1" if wgrads else "0")
         x, mask, layer, heads = self._setup(rng, seq, heads=heads)
         bias, weights = fused_layer._prep_inputs(x, mask, layer, x.dtype)
         kwargs = dict(num_heads=heads, scale=0.176, eps=1e-12)
@@ -671,7 +670,7 @@ class TestFusedBackwardKernel:
         )
         dx_ref, *dw_ref = vjp(g)
         dx_k, dw_k = fused_layer._fused_backward(
-            x, bias, masks, weights, g, **kwargs, interpret=True
+            x, bias, masks, weights, g, **kwargs, interpret=True, wgrads=wgrads
         )
         np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_ref), atol=3e-4)
         names = ("qkv_w", "qkv_b", "o_w", "o_b", "ln1_s", "ln1_b",
@@ -794,6 +793,57 @@ class TestFusedBackwardKernel:
                 err_msg=f"grad mismatch for {name}",
             )
 
+    def test_multi_device_wgrads_partitioned_matches_split(self, rng, monkeypatch):
+        """The fully-fused (in-kernel wgrads) backward on a multi-device
+        mesh: each shard's kernel emits weight-grad PARTIALS over its local
+        rows and the wrapper psums them (_call_bwd_wgrads_partitioned). Both
+        multi-device forms must agree with each other and with the oracle,
+        and dx must stay batch-sharded."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+
+        x, mask, layer, heads = self._setup(rng, 64, batch=16)
+        kwargs = dict(
+            dropout_key=jax.random.key(3), dropout_rate=0.1,
+            num_heads=heads, scale=0.176, eps=1e-12,
+        )
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+        def loss(x_, l):
+            return jnp.sum(
+                fused_layer.fused_encoder_layer_train(x_, mask, l, **kwargs) ** 2
+            )
+
+        grads = {}
+        for label, wgrad_env in (("wgrads", "1"), ("split", "0")):
+            monkeypatch.setenv("ITOR_FUSED_BWD", "1")
+            monkeypatch.setenv("ITOR_FUSED_BWD_WGRAD", wgrad_env)
+            fused_layer._train_core.cache_clear()
+            fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
+            grads[label] = fn(xs, layer)
+            assert grads[label][0].sharding.spec == P("data")
+
+        monkeypatch.setenv("ITOR_FUSED_BWD", "0")  # recompute-vjp oracle path
+        fused_layer._train_core.cache_clear()
+        gr = jax.jit(jax.grad(loss, argnums=(0, 1)))(xs, layer)
+
+        for label in ("wgrads", "split"):
+            gk = grads[label]
+            np.testing.assert_allclose(
+                np.asarray(gk[0]), np.asarray(gr[0]), atol=3e-4,
+                err_msg=f"dx mismatch ({label})",
+            )
+            for name in gr[1]:
+                np.testing.assert_allclose(
+                    np.asarray(gk[1][name]), np.asarray(gr[1][name]), atol=3e-4,
+                    err_msg=f"grad mismatch for {name} ({label})",
+                )
+
     def test_multi_device_partitioned_backward(self, rng, monkeypatch):
         """jit-GSPMD over a batch-sharded mesh must route the backward
         through the custom_partitioning wrapper (_call_bwd_partitioned):
@@ -821,6 +871,9 @@ class TestFusedBackwardKernel:
             )
 
         monkeypatch.setenv("ITOR_FUSED_BWD", "1")
+        # Pin the split form: with wgrads now partitioned too (default-on),
+        # this test keeps covering _call_bwd_partitioned specifically.
+        monkeypatch.setenv("ITOR_FUSED_BWD_WGRAD", "0")
         fused_layer._train_core.cache_clear()
         fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
         hlo = fn.lower(xs, layer).compile().as_text()
