@@ -344,9 +344,15 @@ def main() -> None:
     # --- single-query latency -------------------------------------------------
     # (a) end-to-end from text (includes host<->device round trips — on
     # tunneled TPU setups this is dominated by RTT, not compute).
+    # Tail attribution (r3 verdict: p95/p99 were recorded but unexplained —
+    # 13x p50 with no evidence for tunnel vs serve path): interleave an RTT
+    # probe (the same f(x)=x+1 dispatch+readback as the floor above) between
+    # e2e requests. A tunnel spike hits the adjacent probe the same way it
+    # hits the request; if the probe's tail tracks the e2e tail while the
+    # resident-input device tail (below) stays flat, the tail is the tunnel.
     ids1, mask1 = tokenizer.encode_batch(query_texts[:1], max_seq_length=256, pad_to=256)
     fused.topk(ids1, mask1, TOP_K)  # warm batch-1 fused program
-    lat = []
+    lat, rtt_probe = [], []
     for i in range(100):
         t0 = time.time()
         ids1, mask1 = tokenizer.encode_batch(
@@ -354,15 +360,28 @@ def main() -> None:
         )
         fused.topk(ids1, mask1, TOP_K)
         lat.append(time.time() - t0)
+        t0 = time.time()
+        float(f_nop(x0))
+        rtt_probe.append(time.time() - t0)
     p50_ms = float(np.median(lat) * 1000)
     p95_ms = float(np.percentile(lat, 95) * 1000)
     p99_ms = float(np.percentile(lat, 99) * 1000)
+    rtt_p95_ms = float(np.percentile(rtt_probe, 95) * 1000)
+    rtt_p99_ms = float(np.percentile(rtt_probe, 99) * 1000)
+    # Fraction of probe samples that spiked past 3x the session RTT floor:
+    # the tunnel's share of the tail, independent of the serve path.
+    rtt_spike_frac = float(np.mean(np.asarray(rtt_probe) > 3 * rtt_s))
     log(
         f"single-query e2e latency: p50 {p50_ms:.2f} ms, "
         f"p95 {p95_ms:.2f} ms, p99 {p99_ms:.2f} ms"
     )
+    log(
+        f"interleaved RTT probe: p95 {rtt_p95_ms:.2f} ms, p99 {rtt_p99_ms:.2f} ms, "
+        f"spike fraction (>3x floor): {rtt_spike_frac:.2f}"
+    )
 
-    # (b) device-side latency with resident inputs (the chip's actual cost).
+    # (b) device-side latency with resident inputs (the chip's actual cost),
+    # now with enough samples for a tail.
 
     ids, _ = tokenizer.encode_batch(query_texts[:1], max_seq_length=256, pad_to=256)
     ids_d = jnp.asarray(ids.astype(encoder.wire_dtype))
@@ -373,12 +392,17 @@ def main() -> None:
 
     jax.block_until_ready(device_once())
     lat = []
-    for _ in range(30):
+    for _ in range(100):
         t0 = time.time()
         jax.block_until_ready(device_once())
         lat.append(time.time() - t0)
     device_p50_ms = float(np.median(lat) * 1000)
-    log(f"single-query device p50 latency: {device_p50_ms:.2f} ms")
+    device_p95_ms = float(np.percentile(lat, 95) * 1000)
+    device_p99_ms = float(np.percentile(lat, 99) * 1000)
+    log(
+        f"single-query device latency: p50 {device_p50_ms:.2f} ms, "
+        f"p95 {device_p95_ms:.2f} ms, p99 {device_p99_ms:.2f} ms"
+    )
 
     result = {
         "metric": "serve_queries_per_sec_per_chip",
@@ -393,6 +417,15 @@ def main() -> None:
             "single_query_p95_ms": round(p95_ms, 2),
             "single_query_p99_ms": round(p99_ms, 2),
             "single_query_device_p50_ms": round(device_p50_ms, 2),
+            # Tail attribution: device tail on resident inputs (serve-path
+            # share) vs interleaved RTT-probe tail (tunnel share) — if
+            # e2e p99 >> device p99 and the probe tail tracks it, the
+            # single-query tail is tunnel jitter, not the serve path.
+            "single_query_device_p95_ms": round(device_p95_ms, 2),
+            "single_query_device_p99_ms": round(device_p99_ms, 2),
+            "rtt_probe_p95_ms": round(rtt_p95_ms, 2),
+            "rtt_probe_p99_ms": round(rtt_p99_ms, 2),
+            "rtt_spike_fraction": round(rtt_spike_frac, 3),
             "catalog_encode_products_per_sec": round(CATALOG_SIZE / catalog_encode_s, 1),
             # Attribution block: device_qps is tunnel-invariant (chained
             # dispatch minus RTT floor on the same workload mix). If it holds

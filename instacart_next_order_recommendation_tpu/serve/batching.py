@@ -219,19 +219,41 @@ class MicroBatcher:
             k_bucket = min(k_bucket, len(self._rec.product_ids))
             pad_rows = _bucket(len(queries))
 
-            t0 = time.time()
-            # keep_padding: top-k must see the bucketed batch shape, or every
-            # distinct concurrency level compiles its own full-catalog
-            # program (pad rows ride along and their results are ignored).
-            # The embedding stays on device — np.asarray here would force a
-            # host sync + re-upload per dispatch.
-            emb = self._rec.encoder.encode_device(
-                queries, pad_batch_to=pad_rows, keep_padding=True
+            from instacart_next_order_recommendation_tpu.serve.recommender import (
+                _single_dispatch_on,
             )
-            encode_ms = (time.time() - t0) * 1000
-            t1 = time.time()
-            scores, indices = self._rec.index.topk(emb, k_bucket)
-            sim_ms = (time.time() - t1) * 1000
+
+            fused = getattr(self._rec, "_fused", None)
+            if fused is not None and _single_dispatch_on():
+                # Single dispatch for the whole drain: tokenize, then one
+                # fused encode+top-k program over the bucketed batch shape.
+                # Stage stats come from the device-side calibration table
+                # (StageCalibrator) — the drain pays ONE round trip.
+                enc = self._rec.encoder
+                ids, _ = enc.tokenizer.encode_batch(
+                    queries,
+                    max_seq_length=enc.max_seq_length,
+                    pad_batch_to=pad_rows,
+                )
+                scores, indices = fused.topk(ids, None, k_bucket)
+                encode_ms, sim_ms = self._rec._stage_cal.stage_ms(
+                    queries, seq=ids.shape[1], k_bucket=k_bucket, pad_rows=pad_rows
+                )
+            else:
+                t0 = time.time()
+                # keep_padding: top-k must see the bucketed batch shape, or
+                # every distinct concurrency level compiles its own
+                # full-catalog program (pad rows ride along and their
+                # results are ignored). The embedding stays on device —
+                # np.asarray here would force a host sync + re-upload per
+                # dispatch.
+                emb = self._rec.encoder.encode_device(
+                    queries, pad_batch_to=pad_rows, keep_padding=True
+                )
+                encode_ms = (time.time() - t0) * 1000
+                t1 = time.time()
+                scores, indices = self._rec.index.topk(emb, k_bucket)
+                sim_ms = (time.time() - t1) * 1000
             if len(batch) > 1:
                 logger.info(
                     "micro_batch size=%d k=%d encode_ms=%.1f sim_ms=%.1f",

@@ -8,10 +8,12 @@ matmul's producer chain. The wire carries only token ids (int16 when the
 vocab fits): the attention mask is recomputed on device from pad positions,
 halving-to-quartering the per-batch upload.
 
-Used by the plain ``Recommender`` serve path and the bench;
-``MonitoredRecommender`` keeps the two-call path because its API contract
-reports encode and similarity timings separately
-(/root/reference/src/inference/serve_recommendations.py:244-277).
+Used by the plain ``Recommender`` serve path, the bench, and (since r4)
+``MonitoredRecommender`` and the micro-batcher: the per-stage stats contract
+(/root/reference/src/inference/serve_recommendations.py:244-277) is kept by
+reporting device-calibrated stage timings (recommender.StageCalibrator)
+instead of paying a second round trip per request to wall-clock the stages.
+``ITOR_MONITORED_SINGLE_DISPATCH=0`` restores the two-call monitored path.
 """
 
 from __future__ import annotations

@@ -103,8 +103,8 @@ def warm_serve_shapes(
             emb_by_batch[b] = np.asarray(emb)
         return 1
 
-    def fused_job(s_len: int, k_eff: int) -> int:
-        ids, mask = tokenize(1, s_len)
+    def fused_job(b: int, s_len: int, k_eff: int) -> int:
+        ids, mask = tokenize(b, s_len)
         recommender._fused.topk(ids, mask, k_eff)
         return 1
 
@@ -128,10 +128,14 @@ def warm_serve_shapes(
             index_thunks.append(functools.partial(index_job, b, k_eff, False))
             if with_filters and hasattr(recommender.index, "topk_device"):
                 index_thunks.append(functools.partial(index_job, b, k_eff, True))
-    if recommender._fused is not None and 1 in batch_buckets:
-        for s_len in seq_buckets:
-            for k_eff in k_effs:
-                encode_thunks.append(functools.partial(fused_job, s_len, k_eff))
+    if recommender._fused is not None:
+        # Single-dispatch serving (r4): the monitored path AND the
+        # micro-batcher dispatch the fused program at every (batch, seq, k)
+        # combination, so the whole lattice is warmable.
+        for b in batch_buckets:
+            for s_len in seq_buckets:
+                for k_eff in k_effs:
+                    encode_thunks.append(functools.partial(fused_job, b, s_len, k_eff))
 
     n_jobs = max(1, jobs or min(16, len(encode_thunks) + len(index_thunks)))
     n_programs = 0

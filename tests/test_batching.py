@@ -360,3 +360,45 @@ def test_decision_counters_account_for_every_leader(rec):
     drains = sum(batcher.drain_sizes.values())
     assert decisions == drains > 0
     assert sum(size * n for size, n in batcher.drain_sizes.items()) == 40
+
+
+def test_fused_drain_single_dispatch_matches_direct(rec):
+    """On dp=1 (fused pipeline active) the batcher drains through ONE fused
+    dispatch per batch; results must match the direct monitored path and
+    stage stats must come from the calibration table (populated)."""
+    from instacart_next_order_recommendation_tpu.parallel import MeshConfig, build_mesh
+    from instacart_next_order_recommendation_tpu.serve import MonitoredRecommender
+
+    mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=1))
+    frec = MonitoredRecommender(
+        model_dir=rec.model_dir, corpus_path=rec.corpus_path, mesh=mesh
+    )
+    assert frec._fused is not None
+    batcher = MicroBatcher(frec, window_ms=40.0)
+    batcher._last_drain = 2
+    batcher._last_drain_t = time.time()
+
+    queries = [f"organic milk {i % 4}" for i in range(6)]
+    results: dict[int, list] = {}
+    metrics: dict[int, object] = {}
+
+    def worker(i):
+        results[i] = batcher.recommend(queries[i], top_k=3)
+        metrics[i] = batcher.last_metrics
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert frec._stage_cal._cache, "batched drain did not calibrate stage stats"
+    for i, q in enumerate(queries):
+        direct = frec.recommend(q, top_k=3)
+        assert [p for p, _ in results[i]] == [p for p, _ in direct]
+        np.testing.assert_allclose(
+            [s for _, s in results[i]], [s for _, s in direct], atol=1e-5
+        )
+        m = metrics[i]
+        assert m is not None and m.query_embedding_time_ms > 0
+        assert m.similarity_compute_time_ms > 0

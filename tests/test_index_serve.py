@@ -223,6 +223,56 @@ class TestRecommender:
         *_, rec = served
         assert rec.recommend("milk", top_k=5, filter_aisles=["nope"]) == []
 
+    @pytest.fixture(scope="class")
+    def served_fused(self, served):
+        """A dp=1 recommender so the fused single-dispatch path is active
+        (the module `served` fixture rides the 8-device test mesh, where
+        the sharded index keeps encode separate)."""
+        base, model_dir, corpus_path, corpus, _ = served
+        mesh = build_mesh(MeshConfig(data_parallel=1, model_parallel=1))
+        return MonitoredRecommender(
+            model_dir=model_dir, corpus_path=corpus_path, mesh=mesh
+        )
+
+    def test_monitored_single_dispatch_matches_legacy(self, served_fused, monkeypatch):
+        """The default monitored path serves through the one-dispatch fused
+        program with calibrated stage stats; ITOR_MONITORED_SINGLE_DISPATCH=0
+        restores the wall-clocked two-dispatch path. Results must be
+        identical and both must populate the full stats contract."""
+        rec = served_fused
+        assert rec._fused is not None
+        fused = rec.recommend("organic milk", top_k=5, user_id="u1")
+        m_fused = rec.last_metrics
+        assert rec._stage_cal._cache, "calibration table not populated"
+
+        monkeypatch.setenv("ITOR_MONITORED_SINGLE_DISPATCH", "0")
+        legacy = rec.recommend("organic milk", top_k=5, user_id="u1")
+        m_legacy = rec.last_metrics
+
+        assert [p for p, _ in fused] == [p for p, _ in legacy]
+        np.testing.assert_allclose(
+            [s for _, s in fused], [s for _, s in legacy], atol=1e-5
+        )
+        for m in (m_fused, m_legacy):
+            assert m.query_embedding_time_ms > 0
+            assert m.similarity_compute_time_ms > 0
+            assert m.total_latency_ms > 0
+
+    def test_stage_calibration_cached_and_refreshed(self, served_fused):
+        """Repeat requests on the same shape bucket reuse the calibration
+        entry (no re-measurement inside the TTL); an expired entry is
+        re-measured."""
+        rec = served_fused
+        rec.recommend("organic milk", top_k=5)
+        cache = rec._stage_cal._cache
+        key, entry = next(iter(cache.items()))
+        rec.recommend("organic milk", top_k=5)
+        assert cache[key][2] == entry[2]  # same measurement timestamp
+        # Expire it: the next request must re-measure.
+        cache[key] = (entry[0], entry[1], 0.0)
+        rec.recommend("organic milk", top_k=5)
+        assert cache[key][2] > 0.0
+
     def test_precompile_warms_serve_shapes(self, served):
         from instacart_next_order_recommendation_tpu.serve.precompile import (
             warm_serve_shapes,
