@@ -162,7 +162,16 @@ def train_main() -> None:
     batches = [int(a) for a in sys.argv[2:] if a.isdigit()] or [64, 512]
     S = 128
     R = 16
-    cfg = dataclasses.replace(MINILM_L6, vocab_size=12000)
+    # --mpnet: measure the mpnet-base-class tower (H=768, 12 layers) — its
+    # weights exceed the fused backward's VMEM model (bwd_supports), so this
+    # is the measured cost of the recompute-vjp fallback on large towers.
+    if "--mpnet" in sys.argv:
+        from instacart_next_order_recommendation_tpu.models import MPNET_BASE_CLASS
+
+        cfg = dataclasses.replace(MPNET_BASE_CLASS, vocab_size=12000)
+        print("model: mpnet-base-class (H=768, 12 layers)")
+    else:
+        cfg = dataclasses.replace(MINILM_L6, vocab_size=12000)
     h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     rng = np.random.default_rng(0)
 

@@ -331,3 +331,20 @@ def test_checkpoint_retention_keeps_best(tmp_path):
     assert "checkpoint-epoch1" in names  # best retained
     assert "checkpoint-epoch3" in names  # latest retained
     assert "checkpoint-epoch2" not in names  # pruned by keep-1
+
+
+def test_shipped_large_batch_recipe_parses():
+    """configs/train_large_batch.yaml is the validated r4 flagship recipe
+    (docs/VALIDATION.md Round 4: B=512, lr 3e-4, best NDCG@10 0.4076) —
+    guard the shipped values so a drive-by edit can't silently decouple the
+    config from the documented validation."""
+    from pathlib import Path
+
+    from instacart_next_order_recommendation_tpu.constants import PROJECT_ROOT
+
+    cfg = TrainConfig.load(Path(PROJECT_ROOT) / "configs" / "train_large_batch.yaml")
+    assert cfg.train_batch_size == 512
+    assert cfg.learning_rate == pytest.approx(3e-4)
+    assert cfg.loss_scale == 30.0
+    assert cfg.remat  # B>=256 requires layer rematerialization
+    assert cfg.epochs == 5
