@@ -211,6 +211,20 @@ def main() -> None:
         ex.submit(warm_device_encode),
     ]
     jobs += [ex.submit(warm_fused, s) for s in sorted(serve_shapes)]
+
+    def warm_resident_chain():
+        # The timed catalog encode is pipelined encode_resident: besides the
+        # per-bucket encode programs (warmed above), its device-side
+        # concatenate of ceil(N/CATALOG_BATCH) chunks and the un-permute
+        # gather are their own XLA programs — cold they cost seconds, which
+        # the r4 pipelining made the dominant term (14.6k vs ~87k
+        # products/s warm). Run the full chain once here so the timed
+        # section measures steady-state.
+        np.asarray(
+            encoder.encode_resident(catalog_texts, batch_size=CATALOG_BATCH)[0]
+        )
+
+    jobs.append(ex.submit(warm_resident_chain))
     # Bounded wait: a single wedged remote-compile RPC must not hang the
     # whole bench (observed once on a cold export run — every executable was
     # written but one future never resolved). Stragglers are logged and their

@@ -207,16 +207,24 @@ class TextEncoder:
         texts: Sequence[str],
         batch_size: int = 1024,
         sort_by_length: bool = True,
+        num_threads: int = 4,
     ) -> jax.Array:
         """Encode texts into a DEVICE-resident [n, hidden] matrix (input order).
 
         Catalog/index builds consume embeddings on device, so pulling them to
         host is pure waste — at 50k x 384 f32 that's ~73MB over the wire, the
         dominant cost of an index build on tunneled TPU setups. This path
-        uploads only token ids (async dispatches; tokenization of batch i+1
-        overlaps device compute of batch i), concatenates on device, and
-        un-permutes the length-sort on device. Use ``np.asarray`` on the
-        result only where a host copy is genuinely needed (disk cache).
+        uploads only token ids, concatenates on device, and un-permutes the
+        length-sort on device. Use ``np.asarray`` on the result only where a
+        host copy is genuinely needed (disk cache).
+
+        The per-chunk work (C++ tokenization, int16 id upload, dispatch) is
+        PIPELINED over a small thread pool: the serial loop paid ~3 tunnel
+        round trips per chunk back-to-back (r3 bench: catalog encode ran 6x
+        below the chip's encoder throughput, 13.7k products/s e2e vs 83k
+        device-side), while ``num_threads`` chunks in flight overlap
+        tokenize/upload/dispatch latency. Dispatches are async either way —
+        the final concatenate is the only sync point.
         """
         n = len(texts)
         if n == 0:
@@ -230,8 +238,8 @@ class TextEncoder:
             order = np.argsort([len(t) for t in texts], kind="stable")
         else:
             order = np.arange(n)
-        chunks = []
-        for lo in range(0, n, batch_size):
+
+        def run(lo: int) -> jax.Array:
             batch = [texts[order[i]] for i in range(lo, min(lo + batch_size, n))]
             ids, _ = self.tokenizer.encode_batch(
                 batch, max_seq_length=self.max_seq_length, pad_batch_to=batch_size
@@ -239,7 +247,19 @@ class TextEncoder:
             ids_d = jnp.asarray(ids.astype(self.wire_dtype))
             if self._batch_sharding is not None:
                 ids_d = jax.device_put(ids_d, self._batch_sharding)
-            chunks.append(self._run_encode(ids_d))
+            return self._run_encode(ids_d)
+
+        los = list(range(0, n, batch_size))
+        # First chunk single-threaded: warms the jit cache so concurrent
+        # chunks never compile the same program twice.
+        chunks: list = [run(los[0])]
+        if len(los) > 2 and num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(num_threads) as ex:
+                chunks.extend(ex.map(run, los[1:]))  # map preserves order
+        else:
+            chunks.extend(run(lo) for lo in los[1:])
         emb = jnp.concatenate(chunks, axis=0)[:n] if len(chunks) > 1 else chunks[0][:n]
         if not np.array_equal(order, np.arange(n)):
             inv = np.empty(n, np.int32)

@@ -224,11 +224,17 @@ class MicroBatcher:
             )
 
             fused = getattr(self._rec, "_fused", None)
-            if fused is not None and _single_dispatch_on():
-                # Single dispatch for the whole drain: tokenize, then one
-                # fused encode+top-k program over the bucketed batch shape.
-                # Stage stats come from the device-side calibration table
-                # (StageCalibrator) — the drain pays ONE round trip.
+            if fused is not None and len(batch) == 1 and _single_dispatch_on():
+                # Single dispatch for LONE drains: tokenize, then one fused
+                # encode+top-k program. Stage stats come from the device-side
+                # calibration table (StageCalibrator) — the request pays ONE
+                # round trip (p50 ≈ 1 RTT, measured r4 soak: 56.8 → 32.9 ms).
+                # Multi-request drains keep the two-dispatch path: their
+                # second round trip amortizes across the batch, and the fused
+                # program lattice is multiplicative in (batch, seq, k) —
+                # serving it for every drain size multiplies cold-compile
+                # stalls (measured: 6–16 s p95 burst spikes on a
+                # partially-warm cache) for no per-request latency win.
                 enc = self._rec.encoder
                 ids, _ = enc.tokenizer.encode_batch(
                     queries,

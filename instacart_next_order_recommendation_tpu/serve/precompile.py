@@ -128,14 +128,14 @@ def warm_serve_shapes(
             index_thunks.append(functools.partial(index_job, b, k_eff, False))
             if with_filters and hasattr(recommender.index, "topk_device"):
                 index_thunks.append(functools.partial(index_job, b, k_eff, True))
-    if recommender._fused is not None:
-        # Single-dispatch serving (r4): the monitored path AND the
-        # micro-batcher dispatch the fused program at every (batch, seq, k)
-        # combination, so the whole lattice is warmable.
-        for b in batch_buckets:
-            for s_len in seq_buckets:
-                for k_eff in k_effs:
-                    encode_thunks.append(functools.partial(fused_job, b, s_len, k_eff))
+    if recommender._fused is not None and 1 in batch_buckets:
+        # Single-dispatch serving (r4) dispatches fused programs only at
+        # batch 1 (the monitored lone path and the micro-batcher's lone
+        # drains; multi-request drains stay two-dispatch — their extra RTT
+        # amortizes and the fused lattice is multiplicative in (b, s, k)).
+        for s_len in seq_buckets:
+            for k_eff in k_effs:
+                encode_thunks.append(functools.partial(fused_job, 1, s_len, k_eff))
 
     n_jobs = max(1, jobs or min(16, len(encode_thunks) + len(index_thunks)))
     n_programs = 0

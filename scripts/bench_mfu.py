@@ -172,6 +172,13 @@ def train_main() -> None:
         print("model: mpnet-base-class (H=768, 12 layers)")
     else:
         cfg = dataclasses.replace(MINILM_L6, vocab_size=12000)
+    if ("--remat" in sys.argv) or ("--mpnet" in sys.argv and max(batches) >= 256):
+        # Mirror the trainer: layer remat auto-enables at batch >= 256
+        # (TrainConfig.remat) — without it mpnet at B>=512 exhausts HBM.
+        # (MiniLM rows keep the no-remat methodology of the r3 table;
+        # opt in with --remat.)
+        cfg = dataclasses.replace(cfg, remat=True)
+        print("layer remat: on (trainer default at B>=256)")
     h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     rng = np.random.default_rng(0)
 
@@ -213,16 +220,25 @@ def train_main() -> None:
         # default both are on, i.e. the fully-fused Pallas bwd with in-kernel
         # weight-grad accumulation — on multi-device meshes it runs
         # shard-local with one psum per weight-grad partial (r4).
-        # Labels reuse the kernel's own knob parser (fused_layer._env_on,
-        # case-folded) so e.g. ITOR_FUSED_BWD=FALSE is labeled the same way
-        # it dispatches.
-        from instacart_next_order_recommendation_tpu.ops.fused_layer import _env_on
+        # Labels reuse the kernel's own knob parser AND its VMEM gate
+        # (fused_layer._env_on / bwd_supports) so the row names the form
+        # that actually dispatches — e.g. ITOR_FUSED_BWD=FALSE is labeled
+        # recompute, and mpnet-base (whose weights exceed the bwd kernel's
+        # VMEM model) is labeled recompute even with the knobs default-on.
+        from instacart_next_order_recommendation_tpu.ops.fused_layer import (
+            _env_on,
+            bwd_supports,
+        )
 
+        fits_wgrads = bwd_supports(h, inter, S, 2, wgrads=True)
+        fits_split = bwd_supports(h, inter, S, 2, wgrads=False, batch=max(batches))
         if disable_fused:
             label_k = "unfused XLA fwd+bwd"
-        elif not _env_on("ITOR_FUSED_BWD"):
+        elif not _env_on("ITOR_FUSED_BWD") or not (fits_wgrads or fits_split):
             label_k = "fused fwd + recompute bwd"
-        elif not _env_on("ITOR_FUSED_BWD_WGRAD"):
+            if _env_on("ITOR_FUSED_BWD"):
+                label_k += " (VMEM gate)"
+        elif not (_env_on("ITOR_FUSED_BWD_WGRAD") and fits_wgrads):
             label_k = "fused fwd + split fused bwd"
         elif jax.device_count() > 1:
             # Since r4 the fully-fused form partitions along batch on

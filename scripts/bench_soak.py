@@ -260,13 +260,18 @@ def main() -> None:
 
     import httpx
 
-    for _ in range(300):
+    for _ in range(900):
         try:
             if httpx.get(f"{url}/ready", timeout=2).json().get("status") == "ready":
                 break
         except Exception:  # noqa: BLE001 - server still starting
             pass
         time.sleep(0.2)
+    else:
+        raise RuntimeError(
+            "server did not become ready in 180s (model load / device init "
+            "stalled?) — see logs above"
+        )
 
     batcher = app.state["recommender"]  # MicroBatcher when BATCH_WINDOW_MS > 0
     have_counters = hasattr(batcher, "decision_counts")

@@ -363,9 +363,11 @@ def test_decision_counters_account_for_every_leader(rec):
 
 
 def test_fused_drain_single_dispatch_matches_direct(rec):
-    """On dp=1 (fused pipeline active) the batcher drains through ONE fused
-    dispatch per batch; results must match the direct monitored path and
-    stage stats must come from the calibration table (populated)."""
+    """On dp=1 (fused pipeline active) the batcher serves LONE drains
+    through ONE fused dispatch with calibrated stage stats; multi-request
+    drains keep the two-dispatch path (their extra RTT amortizes and the
+    fused (b, s, k) program lattice is multiplicative). Both must match the
+    direct monitored path."""
     from instacart_next_order_recommendation_tpu.parallel import MeshConfig, build_mesh
     from instacart_next_order_recommendation_tpu.serve import MonitoredRecommender
 
@@ -375,9 +377,18 @@ def test_fused_drain_single_dispatch_matches_direct(rec):
     )
     assert frec._fused is not None
     batcher = MicroBatcher(frec, window_ms=40.0)
+
+    # Lone drain (immediate fast path): fused single dispatch + calibration.
+    lone = batcher.recommend("organic milk", top_k=3)
+    m_lone = batcher.last_metrics
+    assert frec._stage_cal._cache, "lone drain did not use the fused path"
+    assert m_lone is not None and m_lone.query_embedding_time_ms > 0
+    direct = frec.recommend("organic milk", top_k=3)
+    assert [p for p, _ in lone] == [p for p, _ in direct]
+
+    # Coalesced burst: two-dispatch path, identical results per request.
     batcher._last_drain = 2
     batcher._last_drain_t = time.time()
-
     queries = [f"organic milk {i % 4}" for i in range(6)]
     results: dict[int, list] = {}
     metrics: dict[int, object] = {}
@@ -392,7 +403,6 @@ def test_fused_drain_single_dispatch_matches_direct(rec):
     for t in threads:
         t.join()
 
-    assert frec._stage_cal._cache, "batched drain did not calibrate stage stats"
     for i, q in enumerate(queries):
         direct = frec.recommend(q, top_k=3)
         assert [p for p, _ in results[i]] == [p for p, _ in direct]
