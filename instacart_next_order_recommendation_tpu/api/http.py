@@ -42,10 +42,11 @@ class Request:
     body: bytes = b""
     client_ip: str = "127.0.0.1"
     state: dict = field(default_factory=dict)
-    # Parsed query-string parameters (first value per key). The reference's
-    # FastAPI routes are body-driven, but uvicorn still surfaces the query
-    # string; the stdlib server parses it off the request target here instead
-    # of silently dropping it.
+    # Parsed query-string parameters (last value wins for duplicate keys,
+    # the dict(parse_qsl(...)) semantics). The reference's FastAPI routes
+    # are body-driven, but uvicorn still surfaces the query string; the
+    # stdlib server parses it off the request target here instead of
+    # silently dropping it.
     query: dict[str, str] = field(default_factory=dict)
 
     def json(self) -> Any:
@@ -217,7 +218,11 @@ class TestClient:
         hdrs = {k.lower(): v for k, v in (headers or {}).items()}
         if json_body is not None:
             hdrs.setdefault("content-type", "application/json")
-        req = Request(method.upper(), path, hdrs, body, self.client_ip)
+        # Mirror the socket server: the query string is split off the path
+        # (so routing matches) and parsed into Request.query.
+        path, _, query_string = path.partition("?")
+        query = dict(parse_qsl(query_string)) if query_string else {}
+        req = Request(method.upper(), path, hdrs, body, self.client_ip, query=query)
         return self.app.handle(req)
 
     def get(self, path: str, **kw) -> Response:
@@ -234,21 +239,38 @@ class BoundedThreadingHTTPServer(ThreadingHTTPServer):
     The reference's robustness here comes from uvicorn
     (/root/reference/Dockerfile:58-62); the stdlib ThreadingHTTPServer is
     thread-per-connection with no bound, so a connection flood spawns
-    unbounded threads. This subclass gates `process_request` on a semaphore:
-    when all workers are busy, excess connections get an immediate
-    `503 Service Unavailable` and are closed instead of queuing forever.
+    unbounded threads. This subclass gates `process_request` on a
+    NON-BLOCKING semaphore acquire (it runs in the accept loop — any wait
+    there head-of-line-blocks every later connection): when all worker
+    slots are taken, the excess connection gets an immediate
+    `503 Service Unavailable` and is closed instead of queuing forever.
+
+    The unit of admission is the CONNECTION (matching the thread-per-
+    connection model): an idle keep-alive connection holds its slot until
+    the socket timeout reaps it. To keep pooled keep-alive clients from
+    pinning the server near its cap, handlers mark responses
+    `Connection: close` while free slots are scarce (``nearly_saturated``)
+    so slots recycle under pressure.
     """
 
     daemon_threads = True
 
-    def __init__(self, addr, handler_cls, max_concurrency: int = 64,
-                 acquire_timeout: float = 0.5):
+    def __init__(self, addr, handler_cls, max_concurrency: int = 64):
         self._slots = threading.BoundedSemaphore(max_concurrency)
-        self._acquire_timeout = acquire_timeout
+        self._max_concurrency = max_concurrency
+        self._active = 0
+        self._active_lock = threading.Lock()
         super().__init__(addr, handler_cls)
 
+    def nearly_saturated(self) -> bool:
+        """True when <=25% of worker slots remain free."""
+        with self._active_lock:
+            return (self._max_concurrency - self._active) <= max(
+                1, self._max_concurrency // 4
+            )
+
     def process_request(self, request, client_address):
-        if not self._slots.acquire(timeout=self._acquire_timeout):
+        if not self._slots.acquire(blocking=False):
             try:
                 request.sendall(
                     b"HTTP/1.1 503 Service Unavailable\r\n"
@@ -261,17 +283,24 @@ class BoundedThreadingHTTPServer(ThreadingHTTPServer):
                 pass
             self.shutdown_request(request)
             return
+        with self._active_lock:
+            self._active += 1
         try:
             super().process_request(request, client_address)
         except BaseException:
-            self._slots.release()
+            self._release_slot()
             raise
+
+    def _release_slot(self) -> None:
+        with self._active_lock:
+            self._active -= 1
+        self._slots.release()
 
     def process_request_thread(self, request, client_address):
         try:
             super().process_request_thread(request, client_address)
         finally:
-            self._slots.release()
+            self._release_slot()
 
 
 def make_server(
@@ -342,13 +371,20 @@ def make_server(
             query = dict(parse_qsl(query_string)) if query_string else {}
             req = Request(method, path, headers, b"", self.client_address[0], query=query)
 
-            length = int(self.headers.get("Content-Length") or 0)
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                length = -1
             # Header-only rejections happen BEFORE the body read: the
             # server never buffers payloads from over-limit or oversize
-            # requests. The unread body makes the connection unusable for
-            # keep-alive, so close it.
+            # requests. A negative/garbage Content-Length is rejected too —
+            # rfile.read(-1) would read until EOF, an unbounded buffer the
+            # size cap exists to prevent. The unread body makes the
+            # connection unusable for keep-alive, so close it.
             early = None
-            if length > max_body_bytes:
+            if length < 0:
+                early = Response(400, {"detail": "Invalid Content-Length"})
+            elif length > max_body_bytes:
                 early = Response(413, {"detail": f"Request body too large (max {max_body_bytes} bytes)"})
             else:
                 early = app.check_early(req)
@@ -364,6 +400,13 @@ def make_server(
                 self.close_connection = True
                 return
             resp = app.handle(req)
+            # Recycle keep-alive slots under pressure: the admission unit
+            # is the connection, so pooled idle keep-alives near the cap
+            # would otherwise 503 new clients while zero requests are in
+            # flight.
+            if self.server.nearly_saturated():
+                resp.headers.setdefault("Connection", "close")
+                self.close_connection = True
             self._send(resp)
 
         def do_GET(self):

@@ -1321,10 +1321,11 @@ def _train_core(num_heads, scale, eps, interpret, multi, dropout):
         # mpnet-base-class) fall back to it automatically (bwd_supports).
         # Feasibility gates per kernel form. The wgrads form's footprint is
         # batch-independent (accumulators only); the split form's includes
-        # its batch-scaled [B, H] f32 LN partials — gated on x.shape[0],
-        # which is the per-shard batch inside shard_map and (conservatively)
-        # the global batch under jit-GSPMD. Preference order: fully-fused
-        # wgrads > split > recompute-vjp.
+        # its batch-scaled [B, H] f32 LN partials, gated on the batch the
+        # KERNEL sees per shard: inside shard_map x.shape[0] is already the
+        # local shard (manual mesh axes present); under jit-GSPMD it is the
+        # global batch, which the partitioned call divides across devices.
+        # Preference order: fully-fused wgrads > split > recompute-vjp.
         fits_wgrads = (
             _env_on("ITOR_FUSED_BWD_WGRAD")
             and bwd_supports(
@@ -1332,9 +1333,14 @@ def _train_core(num_heads, scale, eps, interpret, multi, dropout):
                 x.dtype.itemsize, wgrads=True,
             )
         )
+        in_manual = bool(getattr(jax.sharding.get_abstract_mesh(), "manual_axes", ()))
+        shard_b = (
+            x.shape[0] if (not multi or in_manual)
+            else max(1, x.shape[0] // jax.device_count())
+        )
         fits_split = bwd_supports(
             x.shape[-1], weights[6].shape[-1], x.shape[1],
-            x.dtype.itemsize, wgrads=False, batch=x.shape[0],
+            x.dtype.itemsize, wgrads=False, batch=shard_b,
         )
         if _env_on("ITOR_FUSED_BWD") and (fits_wgrads or fits_split):
             dx, dw = _fused_backward(

@@ -94,6 +94,10 @@ class StageCalibrator:
         self._rec = recommender
         # key (rows, seq, k) -> (encode_ms, sim_ms, measured_at)
         self._cache: dict[tuple, tuple[float, float, float]] = {}
+        # keys with a measurement in flight (cold-miss coalescing + refresh
+        # dedup); the lock guards only the two dicts, never a measurement —
+        # requests for other buckets are never serialized behind one.
+        self._inflight: dict[tuple, threading.Event] = {}
         self._lock = threading.Lock()
         self._zero = np.zeros((), np.float32)
 
@@ -105,6 +109,46 @@ class StageCalibrator:
         np.asarray(jax.device_put(self._zero))
         return time.time() - t0
 
+    def _measure(self, key: tuple, queries: list[str], k_bucket: int,
+                 pad_rows: int | None) -> None:
+        rec = self._rec
+        rtt = self._rtt_s()
+        t0 = time.time()
+        emb = rec.encoder.encode_device(
+            queries, pad_batch_to=pad_rows, keep_padding=pad_rows is not None
+        )
+        jax.block_until_ready(emb)
+        encode_s = time.time() - t0
+        t1 = time.time()
+        rec.index.topk(emb, k_bucket)
+        sim_s = time.time() - t1
+        self._cache[key] = (
+            max(0.05, (encode_s - rtt) * 1e3),
+            max(0.05, (sim_s - rtt) * 1e3),
+            time.time(),
+        )
+
+    def _refresh_async(self, key, queries, k_bucket, pad_rows) -> None:
+        """TTL refresh off the request path: callers keep serving the stale
+        entry; one background thread re-measures (deduped per key)."""
+        with self._lock:
+            if key in self._inflight:
+                return
+            ev = threading.Event()
+            self._inflight[key] = ev
+
+        def run():
+            try:
+                self._measure(key, queries, k_bucket, pad_rows)
+            except Exception:  # noqa: BLE001 - stale entry stays served
+                logger.exception("Stage-calibration refresh failed for %s", key)
+            finally:
+                with self._lock:
+                    self._inflight.pop(key, None)
+                ev.set()
+
+        threading.Thread(target=run, daemon=True, name="stage-cal-refresh").start()
+
     def stage_ms(
         self,
         queries: list[str],
@@ -115,30 +159,32 @@ class StageCalibrator:
         rows = pad_rows or len(queries)
         key = (rows, seq, k_bucket)
         hit = self._cache.get(key)
-        if hit and time.time() - hit[2] < self.TTL_S:
+        if hit is not None:
+            if time.time() - hit[2] >= self.TTL_S:
+                self._refresh_async(key, list(queries), k_bucket, pad_rows)
             return hit[0], hit[1]
+        # Cold miss: this bucket has never been measured, so one request
+        # pays the inline measurement (the stats have to come from
+        # somewhere); concurrent cold misses on the SAME key coalesce on
+        # the in-flight event instead of measuring redundantly.
         with self._lock:
+            ev = self._inflight.get(key)
+            owner = ev is None
+            if owner:
+                ev = threading.Event()
+                self._inflight[key] = ev
+        if not owner:
+            ev.wait(timeout=10.0)
             hit = self._cache.get(key)
-            if hit and time.time() - hit[2] < self.TTL_S:
-                return hit[0], hit[1]
-            rec = self._rec
-            rtt = self._rtt_s()
-            t0 = time.time()
-            emb = rec.encoder.encode_device(
-                queries, pad_batch_to=pad_rows, keep_padding=pad_rows is not None
-            )
-            jax.block_until_ready(emb)
-            encode_s = time.time() - t0
-            t1 = time.time()
-            rec.index.topk(emb, k_bucket)
-            sim_s = time.time() - t1
-            entry = (
-                max(0.05, (encode_s - rtt) * 1e3),
-                max(0.05, (sim_s - rtt) * 1e3),
-                time.time(),
-            )
-            self._cache[key] = entry
-            return entry[0], entry[1]
+            return (hit[0], hit[1]) if hit else (0.05, 0.05)
+        try:
+            self._measure(key, list(queries), k_bucket, pad_rows)
+        finally:
+            with self._lock:
+                self._inflight.pop(key, None)
+            ev.set()
+        hit = self._cache[key]
+        return hit[0], hit[1]
 
 
 class Recommender:

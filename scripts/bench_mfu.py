@@ -231,22 +231,28 @@ def train_main() -> None:
         )
 
         fits_wgrads = bwd_supports(h, inter, S, 2, wgrads=True)
-        fits_split = bwd_supports(h, inter, S, 2, wgrads=False, batch=max(batches))
-        if disable_fused:
-            label_k = "unfused XLA fwd+bwd"
-        elif not _env_on("ITOR_FUSED_BWD") or not (fits_wgrads or fits_split):
-            label_k = "fused fwd + recompute bwd"
-            if _env_on("ITOR_FUSED_BWD"):
-                label_k += " (VMEM gate)"
-        elif not (_env_on("ITOR_FUSED_BWD_WGRAD") and fits_wgrads):
-            label_k = "fused fwd + split fused bwd"
-        elif jax.device_count() > 1:
-            # Since r4 the fully-fused form partitions along batch on
-            # multi-device meshes too (per-shard wgrad partials + psum).
-            label_k = "fused fwd + fully-fused bwd (multi-dev)"
-        else:
-            label_k = "fused fwd + fully-fused bwd"
+
+        def form_label(B: int) -> str:
+            # The split gate is batch-dependent ([B, H] LN partials), so
+            # the dispatched form — and therefore the label — is per-row.
+            fits_split = bwd_supports(h, inter, S, 2, wgrads=False, batch=B)
+            if disable_fused:
+                return "unfused XLA fwd+bwd"
+            if not _env_on("ITOR_FUSED_BWD") or not (fits_wgrads or fits_split):
+                label = "fused fwd + recompute bwd"
+                if _env_on("ITOR_FUSED_BWD"):
+                    label += " (VMEM gate)"
+                return label
+            if not (_env_on("ITOR_FUSED_BWD_WGRAD") and fits_wgrads):
+                return "fused fwd + split fused bwd"
+            if jax.device_count() > 1:
+                # Since r4 the fully-fused form partitions along batch on
+                # multi-device meshes too (per-shard wgrad partials + psum).
+                return "fused fwd + fully-fused bwd (multi-dev)"
+            return "fused fwd + fully-fused bwd"
+
         for B in batches:
+            label_k = form_label(B)
             params = init_params(cfg, jax.random.key(0))
             opt_state = jax.jit(tx.init)(params)
             a_ids = jnp.asarray(rng.integers(4, 11000, size=(B, S)), jnp.int32)

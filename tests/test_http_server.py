@@ -112,6 +112,72 @@ class TestBodyCap:
             _stop(server)
 
 
+class TestInvalidContentLength:
+    def test_negative_content_length_rejected(self):
+        """A negative Content-Length must get 400 without any body read —
+        rfile.read(-1) would read until EOF, defeating the size cap."""
+        server, port = _start(_mini_app(), max_body_bytes=100)
+        try:
+            sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+            sock.sendall(
+                b"POST /echo HTTP/1.1\r\nHost: x\r\nContent-Length: -1\r\n\r\n"
+            )
+            resp = http.client.HTTPResponse(sock)
+            resp.begin()
+            assert resp.status == 400
+            sock.close()
+            status, _ = _get(port, "/health")
+            assert status == 200
+        finally:
+            _stop(server)
+
+    def test_garbage_content_length_rejected(self):
+        server, port = _start(_mini_app())
+        try:
+            sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+            sock.sendall(
+                b"POST /echo HTTP/1.1\r\nHost: x\r\nContent-Length: banana\r\n\r\n"
+            )
+            resp = http.client.HTTPResponse(sock)
+            resp.begin()
+            assert resp.status == 400
+            sock.close()
+        finally:
+            _stop(server)
+
+
+class TestKeepAliveRecycling:
+    def test_connection_close_when_nearly_saturated(self):
+        """Near the connection cap, responses carry Connection: close so
+        pooled idle keep-alives can't pin the server at saturation."""
+        server, port = _start(_mini_app(), max_concurrency=2)
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            conn.request("GET", "/health")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            # 1 of 2 slots held -> free (1) <= max(1, 2//4) -> saturated.
+            assert resp.getheader("Connection") == "close"
+            conn.close()
+        finally:
+            _stop(server)
+
+    def test_keep_alive_preserved_when_unsaturated(self):
+        server, port = _start(_mini_app(), max_concurrency=64)
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            conn.request("GET", "/health")
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.getheader("Connection") != "close"
+            # Connection is reusable.
+            conn.request("GET", "/health")
+            assert conn.getresponse().status == 200
+            conn.close()
+        finally:
+            _stop(server)
+
+
 class TestSlowClient:
     def test_idle_connection_times_out_and_server_stays_healthy(self):
         server, port = _start(_mini_app(), socket_timeout=0.5)
@@ -168,7 +234,6 @@ class TestSlowClient:
 class TestConcurrencyBound:
     def test_flood_gets_fast_503(self):
         server, port = _start(_mini_app(), max_concurrency=2, socket_timeout=5.0)
-        server._acquire_timeout = 0.2
         try:
             # Occupy both worker slots with idle connections (each holds a
             # handler thread blocked reading the request line).

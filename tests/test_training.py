@@ -347,4 +347,4 @@ def test_shipped_large_batch_recipe_parses():
     assert cfg.learning_rate == pytest.approx(3e-4)
     assert cfg.loss_scale == 30.0
     assert cfg.remat  # B>=256 requires layer rematerialization
-    assert cfg.epochs == 5
+    assert cfg.epochs == 8  # longer cosine horizon peaks higher (0.4133 E4)
