@@ -1,10 +1,17 @@
-.PHONY: test bench demo native clean real-data real-data-check
+.PHONY: test bench demo native clean real-data real-data-check flagship
 
 test:
 	python -m pytest tests/ -q
 
 bench:
 	python bench.py
+
+# Flagship training run: the validated large-batch recipe (B=512 lr 3e-4,
+# 8-epoch cosine horizon, best NDCG@10 0.4133 on the synthetic
+# reference-scale workspace — docs/VALIDATION.md "Round 4"). Expects a
+# processed dir (see configs/train_large_batch.yaml: processed_dir).
+flagship:
+	python -m instacart_next_order_recommendation_tpu.train --config configs/train_large_batch.yaml
 
 # Real-dataset parity run: drop the Kaggle CSVs into data/instacart/ and an
 # all-MiniLM-L6-v2 checkpoint into models/all-MiniLM-L6-v2/, then run this —
