@@ -276,6 +276,27 @@ def main() -> None:
     batcher = app.state["recommender"]  # MicroBatcher when BATCH_WINDOW_MS > 0
     have_counters = hasattr(batcher, "decision_counts")
 
+    # Warm the serve program lattice BEFORE timing (what a production
+    # deployment gets from PRECOMPILE_ON_STARTUP): on remote-compile
+    # backends even a persistent-cache hit costs seconds of per-process
+    # executable load per program, and the soak's early phases would
+    # otherwise measure those stalls instead of steady-state latency.
+    from instacart_next_order_recommendation_tpu.serve.precompile import (
+        BATCH_BUCKETS,
+        warm_serve_shapes,
+    )
+
+    rec = getattr(batcher, "_rec", batcher)
+    t0 = time.time()
+    n_warm = warm_serve_shapes(
+        rec,
+        k_buckets=(16,),  # the soak's top_k=10 rounds up to bucket 16
+        batch_buckets=tuple(b for b in BATCH_BUCKETS if b <= max(16, args.burst_threads)),
+        with_filters=False,
+    )
+    print(f"warmed {n_warm} serve programs in {time.time() - t0:.1f}s",
+          file=_sys.stderr, flush=True)
+
     def snapshot() -> dict:
         if not have_counters:
             return {}
