@@ -825,6 +825,14 @@ class TestFusedBackwardKernel:
             monkeypatch.setenv("ITOR_FUSED_BWD_WGRAD", wgrad_env)
             fused_layer._train_core.cache_clear()
             fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
+            if label == "wgrads":
+                # Structural proof of the partitioning: the kernel runs
+                # shard-local (no all-gather anywhere in the module) and the
+                # weight-grad partials are reduced with all-reduce — the
+                # one collective data parallelism implies.
+                hlo = fn.lower(xs, layer).compile().as_text()
+                assert "all-gather" not in hlo
+                assert "all-reduce" in hlo
             grads[label] = fn(xs, layer)
             assert grads[label][0].sharding.spec == P("data")
 
