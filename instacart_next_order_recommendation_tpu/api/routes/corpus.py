@@ -71,12 +71,26 @@ def register(app: App) -> None:
             raise ApiError(500, "Failed to write corpus to temporary file.") from exc
 
         factory = app.state.get("recommender_factory")
+        kwargs: dict = {}
         if factory is None:
             from instacart_next_order_recommendation_tpu.serve import MonitoredRecommender
 
             factory = MonitoredRecommender
+            # Hot-swap fast path (default factory only — injected test
+            # factories keep their own signature): the tower is unchanged,
+            # so reuse the live encoder (skips checkpoint reload, param
+            # re-upload, and jit re-trace), and skip the disk embedding
+            # cache — an uploaded corpus is an ephemeral temp file, so
+            # embeddings stay device-resident instead of round-tripping
+            # ~73 MB through the host for a cache nothing will ever hit.
+            current = app.state.get("recommender")
+            base = getattr(current, "_rec", current)
+            enc = getattr(base, "encoder", None)
+            if enc is not None and getattr(base, "model_dir", None) == Path(model_dir).resolve():
+                kwargs["encoder"] = enc
+            kwargs["use_index"] = False
         try:
-            recommender = factory(model_dir=model_dir, corpus_path=temp_path)
+            recommender = factory(model_dir=model_dir, corpus_path=temp_path, **kwargs)
         except Exception as exc:
             temp_path.unlink(missing_ok=True)
             logger.exception("Failed to load recommender with uploaded corpus")

@@ -201,6 +201,7 @@ class Recommender:
         ann_nlist: int | None = None,
         ann_nprobe: int = 8,
         topk_extraction: str | None = None,
+        encoder: "TextEncoder | None" = None,
     ):
         """``ann=True`` swaps the exact brute-force index for the IVF
         approximate index (index/ivf.py) — for catalogs too large for the
@@ -210,7 +211,13 @@ class Recommender:
         score+index extraction kernel for >=1M-row catalogs (scores
         quantized to ~3 decimal digits; near-tied candidates may swap).
         ``None`` reads the ITOR_TOPK_EXTRACTION env, so API servers (which
-        construct this with paths only) are operator-flippable too."""
+        construct this with paths only) are operator-flippable too.
+
+        ``encoder``: inject an already-loaded TextEncoder for the SAME
+        model_dir (the corpus hot-swap path uses this): skips the
+        checkpoint reload, the param re-upload, and the per-instance jit
+        re-trace — the dominant fixed costs of rebuilding a recommender
+        around an unchanged tower."""
         import os as _os
 
         from instacart_next_order_recommendation_tpu.constants import (
@@ -224,7 +231,7 @@ class Recommender:
         self.product_ids, self.product_texts = self._load_corpus()
         self.pid_to_text = dict(zip(self.product_ids, self.product_texts))
         self._build_category_masks()
-        self.encoder = TextEncoder.load(self.model_dir)
+        self.encoder = encoder if encoder is not None else TextEncoder.load(self.model_dir)
         # Per-stage device timing samples for single-dispatch serving
         # (MonitoredRecommender + MicroBatcher read this; lazy — measures
         # only when the fused path serves a new shape bucket).

