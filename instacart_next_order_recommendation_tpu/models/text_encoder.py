@@ -10,6 +10,7 @@ and a fixed batch size so each (seq_len, batch) shape compiles exactly once.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from pathlib import Path
 from typing import Sequence
@@ -35,6 +36,12 @@ def encode_from_ids(params, ids, *, config: TowerConfig, pad_id: int):
     """
     mask = (ids != pad_id).astype(jnp.int32)
     return encode(params, ids.astype(jnp.int32), mask, config)
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_jit(config, pad_id: int):
+    """One jitted encode program per (tower architecture, pad id)."""
+    return jax.jit(partial(encode_from_ids, config=config, pad_id=pad_id))
 
 
 class TextEncoder:
@@ -71,9 +78,11 @@ class TextEncoder:
         # is the scarce resource on tunneled TPU setups — this halves (or
         # quarters, with int16) the per-batch upload.
         self.wire_dtype = np.int16 if tokenizer.vocab_size <= np.iinfo(np.int16).max else np.int32
-        self._jitted = jax.jit(
-            partial(encode_from_ids, config=self.config, pad_id=tokenizer.pad_id)
-        )
+        # Process-global jit keyed by (config, pad_id): params are ordinary
+        # call arguments, so every TextEncoder instance over the same tower
+        # architecture shares one traced program and its loaded executables —
+        # /admin/model hot swaps and repeated loads skip the re-trace.
+        self._jitted = _encode_jit(self.config, tokenizer.pad_id)
         self._aot = None
         if self._batch_sharding is None:
             from instacart_next_order_recommendation_tpu.serve.aot import AotStore
