@@ -34,11 +34,14 @@ logger = logging.getLogger(__name__)
 
 
 def _resolve_model_dir(app: App) -> Path:
-    value = os.getenv(ENV_MODEL_DIR)
-    if value:
-        return Path(value)
+    # App state first: /admin/model updates it, and a later corpus upload
+    # must rebuild around the CURRENTLY-SERVING model — env-first would
+    # silently undo a model swap (env is the startup default only).
     state_dir = app.state.get("model_dir")
-    return Path(state_dir) if state_dir else DEFAULT_MODEL_DIR
+    if state_dir:
+        return Path(state_dir)
+    value = os.getenv(ENV_MODEL_DIR)
+    return Path(value) if value else DEFAULT_MODEL_DIR
 
 
 def _get_max_corpus_products() -> int:
@@ -83,10 +86,21 @@ def register(app: App) -> None:
             # cache — an uploaded corpus is an ephemeral temp file, so
             # embeddings stay device-resident instead of round-tripping
             # ~73 MB through the host for a cache nothing will ever hit.
+            from instacart_next_order_recommendation_tpu.serve.recommender import (
+                model_signature,
+            )
+
             current = app.state.get("recommender")
             base = getattr(current, "_rec", current)
             enc = getattr(base, "encoder", None)
-            if enc is not None and getattr(base, "model_dir", None) == Path(model_dir).resolve():
+            # Reuse only when BOTH the path and the checkpoint files are
+            # unchanged — a retrain into the same dir must reload from
+            # disk, never silently serve the stale in-memory weights.
+            if (
+                enc is not None
+                and getattr(base, "model_dir", None) == Path(model_dir).resolve()
+                and getattr(base, "_model_signature", None) == model_signature(base.model_dir)
+            ):
                 kwargs["encoder"] = enc
             kwargs["use_index"] = False
         try:

@@ -38,7 +38,11 @@ def encode_from_ids(params, ids, *, config: TowerConfig, pad_id: int):
     return encode(params, ids.astype(jnp.int32), mask, config)
 
 
-@functools.lru_cache(maxsize=None)
+# Bounded: production sees 1-2 architectures, but config-sweeping tests and
+# notebooks would otherwise grow an unbounded global cache of traced
+# programs. Eviction is safe — live TextEncoder instances hold their own
+# reference via self._jitted.
+@functools.lru_cache(maxsize=32)
 def _encode_jit(config, pad_id: int):
     """One jitted encode program per (tower architecture, pad id)."""
     return jax.jit(partial(encode_from_ids, config=config, pad_id=pad_id))

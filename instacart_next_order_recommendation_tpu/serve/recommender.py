@@ -64,6 +64,25 @@ class RecommendationMetrics:
     timestamp: float
 
 
+def model_signature(model_dir: Path | str) -> tuple:
+    """Cheap staleness signature for a checkpoint dir: (name, mtime_ns,
+    size) of its top-level files. The corpus hot-swap fast path reuses a
+    live encoder only while this matches — a checkpoint retrained/
+    overwritten at the same path must trigger a fresh load, not silently
+    serve the stale in-memory weights."""
+    p = Path(model_dir)
+    try:
+        return tuple(
+            sorted(
+                (f.name, f.stat().st_mtime_ns, f.stat().st_size)
+                for f in p.iterdir()
+                if f.is_file()
+            )
+        )
+    except OSError:
+        return ("<unreadable>",)
+
+
 def _single_dispatch_on() -> bool:
     """ITOR_MONITORED_SINGLE_DISPATCH (default on): serve monitored requests
     through the one-dispatch fused program with device-calibrated stage
@@ -232,6 +251,11 @@ class Recommender:
         self.pid_to_text = dict(zip(self.product_ids, self.product_texts))
         self._build_category_masks()
         self.encoder = encoder if encoder is not None else TextEncoder.load(self.model_dir)
+        # Staleness signature of the checkpoint dir at the time these
+        # weights were (re)used — the corpus hot-swap fast path compares it
+        # against the dir's current signature before injecting this
+        # encoder into a successor (callers that inject must verify first).
+        self._model_signature = model_signature(self.model_dir)
         # Per-stage device timing samples for single-dispatch serving
         # (MonitoredRecommender + MicroBatcher read this; lazy — measures
         # only when the fused path serves a new shape bucket).

@@ -305,8 +305,11 @@ def main() -> None:
             "drains": dict(sorted(batcher.drain_sizes.items())),
         }
 
-    # Warm the serve shapes the soak hits before timing anything.
-    drive_phase(url, queries, seconds=3.0, concurrency=args.burst_threads)
+    # Brief traffic warm-up: the serve PROGRAMS are already warmed by
+    # warm_serve_shapes above; this only primes the HTTP/batcher path
+    # (client connection pool, limiter/batcher state, first-request
+    # plumbing) so phase timings start from steady state.
+    drive_phase(url, queries, seconds=1.0, concurrency=args.burst_threads)
 
     phases = [
         # (name, concurrency, gap_s, description)
