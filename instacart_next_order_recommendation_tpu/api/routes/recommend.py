@@ -167,6 +167,9 @@ def register(app: App) -> None:
                     top_score=last_metrics.top_score,
                     avg_score=last_metrics.avg_score,
                     timestamp=last_metrics.timestamp,
+                    stage_timing_source=getattr(
+                        last_metrics, "stage_timing_source", "measured"
+                    ),
                 )
                 RECOMMENDATION_ENCODE_SECONDS.observe(
                     last_metrics.query_embedding_time_ms / 1000.0

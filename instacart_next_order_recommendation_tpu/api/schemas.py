@@ -55,6 +55,10 @@ class InferenceStatistics(BaseModel):
     top_score: float
     avg_score: float
     timestamp: float
+    # Extension over the reference schema: "measured" = per-request wall
+    # clocks; "calibrated" = shape-bucketed device-side estimates (the
+    # single-dispatch serve path). Lets dashboards distinguish the two.
+    stage_timing_source: str = "measured"
 
 
 class RecommendationResponse(BaseModel):

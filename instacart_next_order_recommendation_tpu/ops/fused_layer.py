@@ -658,6 +658,28 @@ def _oracle_blockdiag(x, bias, m1, m2, qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b,
 # cross-shard psum a hand-written shard_map would need.
 
 
+def _batch_shard_divisor() -> int:
+    """Per-shard batch divisor for the split-form VMEM gate under jit-GSPMD.
+
+    The trainer shards the batch over the mesh's ``data`` axis only, so
+    dividing the global batch by ``jax.device_count()`` under-estimates the
+    per-shard batch whenever a ``model`` (or other non-data) axis is present
+    — which could admit a split kernel whose [B, H] LN partials exceed VMEM
+    and fail Mosaic compilation instead of routing to the recompute
+    fallback. With an abstract mesh in scope, use its ``data`` axis size
+    (assume unsharded when the mesh has no such axis: over-estimating the
+    per-shard batch can only push toward the safe fallback). With no mesh
+    context (bare multi-device jit), device_count stays the best bound.
+    """
+    try:
+        shape = dict(jax.sharding.get_abstract_mesh().shape)
+    except Exception:  # noqa: BLE001 - no mesh context
+        shape = {}
+    if not shape:
+        return jax.device_count()
+    return max(1, int(shape.get("data", 1)))
+
+
 def _gelu_grad(x):
     """d/dx gelu_exact (f32): Phi(x) + x*phi(x)."""
     cdf = 0.5 * (1.0 + _erf(x * 0.7071067811865476))
@@ -1336,7 +1358,7 @@ def _train_core(num_heads, scale, eps, interpret, multi, dropout):
         in_manual = bool(getattr(jax.sharding.get_abstract_mesh(), "manual_axes", ()))
         shard_b = (
             x.shape[0] if (not multi or in_manual)
-            else max(1, x.shape[0] // jax.device_count())
+            else max(1, x.shape[0] // _batch_shard_divisor())
         )
         fits_split = bwd_supports(
             x.shape[-1], weights[6].shape[-1], x.shape[1],

@@ -62,23 +62,47 @@ class RecommendationMetrics:
     top_score: float
     avg_score: float
     timestamp: float
+    # "measured" = per-request wall clocks (the reference's contract);
+    # "calibrated" = shape-bucketed device-side estimates from the
+    # single-dispatch path (StageCalibrator) — up to TTL_S stale and not
+    # guaranteed to sum to total_latency_ms. Surfaced so dashboards can
+    # tell the two apart.
+    stage_timing_source: str = "measured"
+
+
+def _file_probe(f: Path, size: int, span: int = 65536) -> bytes:
+    """First+last ``span`` bytes of a file — a content discriminator that
+    stays O(1) regardless of checkpoint size."""
+    with open(f, "rb") as fh:
+        head = fh.read(span)
+        if size > span:
+            fh.seek(max(span, size - span))
+            head += fh.read(span)
+    return head
 
 
 def model_signature(model_dir: Path | str) -> tuple:
-    """Cheap staleness signature for a checkpoint dir: (name, mtime_ns,
-    size) of its top-level files. The corpus hot-swap fast path reuses a
-    live encoder only while this matches — a checkpoint retrained/
+    """Staleness signature for a checkpoint dir: (name, mtime_ns, size,
+    content_probe) of its top-level files. The corpus hot-swap fast path
+    reuses a live encoder only while this matches — a checkpoint retrained/
     overwritten at the same path must trigger a fresh load, not silently
-    serve the stale in-memory weights."""
+    serve the stale in-memory weights. mtime+size alone can collide: a
+    same-architecture retrain writes identical sizes and, on filesystems
+    with coarse mtime granularity, can land in the same timestamp tick —
+    so each file also contributes a hash of its first/last 64 KiB (weights
+    in any real retrain differ somewhere in those spans)."""
+    import hashlib
+
     p = Path(model_dir)
     try:
-        return tuple(
-            sorted(
-                (f.name, f.stat().st_mtime_ns, f.stat().st_size)
-                for f in p.iterdir()
-                if f.is_file()
-            )
-        )
+        sig = []
+        for f in sorted(p.iterdir()):
+            if not f.is_file():
+                continue
+            st = f.stat()
+            probe = hashlib.sha256(_file_probe(f, st.st_size)).hexdigest()[:16]
+            sig.append((f.name, st.st_mtime_ns, st.st_size, probe))
+        return tuple(sig)
     except OSError:
         return ("<unreadable>",)
 
@@ -198,12 +222,19 @@ class StageCalibrator:
             return (hit[0], hit[1]) if hit else (0.05, 0.05)
         try:
             self._measure(key, list(queries), k_bucket, pad_rows)
+        except Exception:  # noqa: BLE001
+            # A transient measurement failure (device hiccup, tokenizer
+            # error) must not 500 a request whose fused dispatch already
+            # produced a valid recommendation: degrade to the placeholder
+            # stats exactly like waiters do. The next request on this
+            # bucket retries the measurement.
+            logger.exception("Stage calibration failed for %s", key)
         finally:
             with self._lock:
                 self._inflight.pop(key, None)
             ev.set()
-        hit = self._cache[key]
-        return hit[0], hit[1]
+        hit = self._cache.get(key)
+        return (hit[0], hit[1]) if hit else (0.05, 0.05)
 
 
 class Recommender:
@@ -480,6 +511,7 @@ class MonitoredRecommender(Recommender):
         fetch_k = min(top_k + len(excluded), len(self.product_ids))
         mask = self._category_mask(filter_aisles, filter_departments)
         k_bucket = self._k_bucket(fetch_k)
+        timing_source = "measured"
 
         if self._fused is not None and mask is None and _single_dispatch_on():
             # Single-dispatch serving (one tunnel round trip, the dominant
@@ -493,6 +525,7 @@ class MonitoredRecommender(Recommender):
             encode_ms, sim_ms = self._stage_cal.stage_ms(
                 [query], seq=ids.shape[1], k_bucket=k_bucket
             )
+            timing_source = "calibrated"
         else:
             encode_start = time.time()
             query_emb = self.encoder.encode([query], batch_size=1)
@@ -516,6 +549,7 @@ class MonitoredRecommender(Recommender):
             top_score=results[0][1] if results else 0.0,
             avg_score=sum(s for _, s in results) / len(results) if results else 0.0,
             timestamp=time.time(),
+            stage_timing_source=timing_source,
         )
         self._log_metrics(self.last_metrics)
         return results

@@ -142,3 +142,27 @@ def test_corpus_swap_reloads_retrained_checkpoint(tmp_path, monkeypatch):
         leaf_new = np.asarray(jax.tree.leaves(new_params)[0])
         leaf_live = np.asarray(jax.tree.leaves(enc_after.params)[0])
         np.testing.assert_array_equal(leaf_live, leaf_new)
+
+
+def test_model_signature_detects_same_mtime_same_size_rewrite(tmp_path):
+    """mtime+size collisions must not fool the staleness signature: a
+    retrain that overwrites a checkpoint with equal-sized files inside the
+    same timestamp tick still changes the content probe (r4 advisor)."""
+    import os
+
+    from instacart_next_order_recommendation_tpu.serve.recommender import (
+        model_signature,
+    )
+
+    mdir = tmp_path / "model"
+    mdir.mkdir()
+    f = mdir / "params.msgpack"
+    f.write_bytes(b"A" * 4096)
+    st = f.stat()
+    sig1 = model_signature(mdir)
+
+    f.write_bytes(b"B" * 4096)  # same size, different weights
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # pin mtime: collide
+    st2 = f.stat()
+    assert (st2.st_mtime_ns, st2.st_size) == (st.st_mtime_ns, st.st_size)
+    assert model_signature(mdir) != sig1
