@@ -84,12 +84,22 @@ def bwd_supports(hidden: int, inter: int, seq: int, itemsize: int = 2,
     wbytes = gemm_params * itemsize
     accums = gemm_params * 4 if wgrads else 0
     partials = 0 if wgrads else 4 * batch * hidden * 4
+    chunks = bwd_ffn_chunks(1, seq, inter)
+    if chunks > 1:
+        # Chunked FFN (seq > 128): two persistent [seq, inter] cdt scratches
+        # (gelu out + gelu') plus ~2 per-chunk f32 transients. Calibrated on
+        # v5e at S=256 (the chunked wgrads form compiles and wins there —
+        # see PERFORMANCE.md r5); without chunking the unsplit [seq, inter]
+        # f32 transients made Mosaic exceed VMEM at S=256.
+        ffn_term = seq * inter * 2 * itemsize + seq * (inter // chunks) * 4 * 2
+    else:
+        ffn_term = seq * inter * (4 + itemsize)
     work = (
         seq * (3 * hidden * 4 + 8 * hidden * itemsize)
-        + seq * inter * (4 + itemsize)
+        + ffn_term
         + seq * skv * 4 * 6
     )
-    budget_mb = int(os.getenv("ITOR_FUSED_BWD_MAXVMEM_MB", "16") or 16)
+    budget_mb = int(os.getenv("ITOR_FUSED_BWD_MAXVMEM_MB", "18") or 18)
     return wbytes + accums + partials + work <= (budget_mb << 20)
 
 
@@ -658,6 +668,24 @@ def _oracle_blockdiag(x, bias, m1, m2, qkv_w, qkv_b, o_w, o_b, ln1_s, ln1_b,
 # cross-shard psum a hand-written shard_map would need.
 
 
+def bwd_ffn_chunks(bb: int, seq: int, inter: int) -> int:
+    """FFN chunk count for the backward kernel: smallest power of two that
+    caps the per-chunk [bb*seq, inter/chunks] f32 transient at ~1MB.
+    ITOR_FUSED_BWD_FFN_CHUNKS overrides for tuning."""
+    import os
+
+    env = (os.getenv("ITOR_FUSED_BWD_FFN_CHUNKS") or "").strip()
+    if env:
+        chunks = max(1, int(env))
+        while inter % chunks:
+            chunks -= 1
+        return chunks
+    chunks = 1
+    while bb * seq * (inter // chunks) * 4 > (1 << 20) and inter % (chunks * 2) == 0:
+        chunks *= 2
+    return chunks
+
+
 def _batch_shard_divisor() -> int:
     """Per-shard batch divisor for the split-form VMEM gate under jit-GSPMD.
 
@@ -694,14 +722,23 @@ def _bwd_kernel(
     *rest,
     bb: int, seq: int, hidden: int, num_heads: int, scale: float, eps: float,
     dropout: bool, wgrads: bool = False, resid: bool = False,
+    ffn_chunks: int = 1,
 ):
     # rest (wgrads=False) = ([m1_ref, m2_ref,] dx, dqkv_out, dao, dhpre, df,
     #         attn_out, x1_out, ds1, db1ln, ds2, db2ln, qkv_scr, attn_scr,
-    #         dattn_scr, dqkv_scr)
+    #         dattn_scr, dqkv_scr [, hg_scr, gp_scr])
     # rest (wgrads=True)  = ([m1_ref, m2_ref,] [4 resid input refs,] dx,
     #         then one grad ref per weight in the weights-tuple order, then
-    #         the four scratches). With resid the fwd's saved (attn, ao,
-    #         x1, f) replace the in-VMEM forward recompute past qkv.
+    #         the four scratches [, hg_scr, gp_scr]). With resid the fwd's
+    #         saved (attn, ao, x1, f) replace the in-VMEM forward recompute
+    #         past qkv. With ffn_chunks > 1 (long-seq shapes) the FFN fwd
+    #         recompute and backward both run chunked over the intermediate
+    #         dim, staging gelu(hpre) and gelu'(hpre) in the two trailing
+    #         compute-dtype scratches so no [n, inter] f32 tensor is ever
+    #         live — the VMEM saving that lets the fully-fused form compile
+    #         at S=256 (the reference's training shape).
+    if ffn_chunks > 1:
+        rest, (hg_scr, gp_scr) = rest[:-2], rest[-2:]
     if dropout:
         m1_ref, m2_ref = rest[:2]
         rest = rest[2:]
@@ -854,13 +891,35 @@ def _bwd_kernel(
     # hpre/hg recompute stays even with resid: gelu'(hpre) and hg (for dW2)
     # are needed, and saving the [N, inter] tensors would cost more traffic
     # than this one GEMM.
-    hpre = dot(x1, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
-    hg = _gelu_exact(hpre).astype(cdt)
-    if resid:
-        f_c = f_in_ref[...].reshape(n, hidden)
+    inter = w1_ref.shape[-1]
+    if ffn_chunks > 1:
+        # Chunked FFN fwd recompute: stage gelu(hpre) / gelu'(hpre) in cdt
+        # scratches chunk by chunk; only [n, inter/chunks] f32 transients.
+        step_i = inter // ffn_chunks
+        f_acc = b2_ref[...].astype(jnp.float32)
+        for c in range(ffn_chunks):
+            lo = c * step_i
+            hpre_c = dot(x1, w1_ref[:, lo : lo + step_i]) + b1_ref[
+                :, lo : lo + step_i
+            ].astype(jnp.float32)
+            hg_c = _gelu_exact(hpre_c).astype(cdt)
+            hg_scr[:, lo : lo + step_i] = hg_c
+            gp_scr[:, lo : lo + step_i] = _gelu_grad(hpre_c).astype(cdt)
+            if not resid:
+                f_acc = f_acc + dot(hg_c, w2_ref[pl.ds(lo, step_i), :])
+        if resid:
+            f_c = f_in_ref[...].reshape(n, hidden)
+        else:
+            f = f_acc.astype(cdt)
+            f_c = f * m2_ref[...].reshape(n, hidden) if dropout else f
     else:
-        f = (dot(hg, w2_ref[...]) + b2_ref[...].astype(jnp.float32)).astype(cdt)
-        f_c = f * m2_ref[...].reshape(n, hidden) if dropout else f
+        hpre = dot(x1, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+        hg = _gelu_exact(hpre).astype(cdt)
+        if resid:
+            f_c = f_in_ref[...].reshape(n, hidden)
+        else:
+            f = (dot(hg, w2_ref[...]) + b2_ref[...].astype(jnp.float32)).astype(cdt)
+            f_c = f * m2_ref[...].reshape(n, hidden) if dropout else f
     res2 = (x1 + f_c).astype(jnp.float32)
 
     # ---- backward chain ---------------------------------------------------
@@ -892,20 +951,44 @@ def _bwd_kernel(
     df = dres2 * m2_ref[...].reshape(n, hidden).astype(jnp.float32) if dropout else dres2
     df_c = df.astype(cdt)
     if wgrads:
-        hg_c = hg  # gelu output from the fwd recompute above (cdt)
-        d_w2_ref[...] += dot_tt(hg_c, df_c)
         d_b2_ref[...] += jnp.sum(df, axis=0, keepdims=True)
     else:
         df_ref[...] = df_c.reshape(bb, seq, hidden)
-    dhg = dot_t(df_c, w2_ref[...])  # [n, inter] f32
-    dhpre = dhg * _gelu_grad(hpre)
-    dhpre_c = dhpre.astype(cdt)
-    if wgrads:
-        d_w1_ref[...] += dot_tt(x1, dhpre_c)
-        d_b1_ref[...] += jnp.sum(dhpre, axis=0, keepdims=True)
+    if ffn_chunks > 1:
+        # Chunked FFN backward off the staged scratches: per chunk the
+        # only f32 transients are [n, inter/chunks].
+        step_i = inter // ffn_chunks
+        dx1 = dres2
+        for c in range(ffn_chunks):
+            lo = c * step_i
+            hg_c = hg_scr[:, lo : lo + step_i]
+            dhg_c = dot_t(df_c, w2_ref[pl.ds(lo, step_i), :])
+            dhpre_f = dhg_c * gp_scr[:, lo : lo + step_i].astype(jnp.float32)
+            dhpre_cc = dhpre_f.astype(cdt)
+            if wgrads:
+                d_w2_ref[pl.ds(lo, step_i), :] += dot_tt(hg_c, df_c)
+                d_w1_ref[:, lo : lo + step_i] += dot_tt(x1, dhpre_cc)
+                d_b1_ref[:, lo : lo + step_i] += jnp.sum(
+                    dhpre_f, axis=0, keepdims=True
+                )
+            else:
+                dhpre_ref[:, :, lo : lo + step_i] = dhpre_cc.reshape(
+                    bb, seq, step_i
+                )
+            dx1 = dx1 + dot_t(dhpre_cc, w1_ref[:, lo : lo + step_i])
     else:
-        dhpre_ref[...] = dhpre_c.reshape(bb, seq, w1_ref.shape[-1])
-    dx1 = dres2 + dot_t(dhpre_c, w1_ref[...])
+        if wgrads:
+            hg_c = hg  # gelu output from the fwd recompute above (cdt)
+            d_w2_ref[...] += dot_tt(hg_c, df_c)
+        dhg = dot_t(df_c, w2_ref[...])  # [n, inter] f32
+        dhpre = dhg * _gelu_grad(hpre)
+        dhpre_c = dhpre.astype(cdt)
+        if wgrads:
+            d_w1_ref[...] += dot_tt(x1, dhpre_c)
+            d_b1_ref[...] += jnp.sum(dhpre, axis=0, keepdims=True)
+        else:
+            dhpre_ref[...] = dhpre_c.reshape(bb, seq, w1_ref.shape[-1])
+        dx1 = dres2 + dot_t(dhpre_c, w1_ref[...])
 
     _, dres1, ds1, db1ln = ln_fwd_bwd(res1, ln1_s_ref[...], dx1)
     if wgrads:
@@ -997,6 +1080,12 @@ def _call_bwd(x, bias, g, *masks_and_weights, num_heads, scale, eps, interpret,
     bb = max(1, int(os.getenv("ITOR_FUSED_BWD_BB", "1")))
     while batch % bb:
         bb -= 1
+    # FFN chunking: above S=128 the [n, inter] f32 FFN transients are what
+    # break the 16MB VMEM model, so the backward stages gelu/gelu' in cdt
+    # scratches and runs the FFN fwd-recompute + backward chunk by chunk
+    # (cap ~1MB per f32 transient). S<=128 keeps chunks=1 — the exact
+    # kernel the r3/r4 numbers were measured on.
+    ffn_chunks = bwd_ffn_chunks(bb, seq, inter)
 
     def const_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=ms)
@@ -1015,7 +1104,7 @@ def _call_bwd(x, bias, g, *masks_and_weights, num_heads, scale, eps, interpret,
     kernel = functools.partial(
         _bwd_kernel, bb=bb, seq=seq, hidden=hidden, num_heads=num_heads,
         scale=scale, eps=eps, dropout=bool(masks), wgrads=wgrads,
-        resid=bool(resids),
+        resid=bool(resids), ffn_chunks=ffn_chunks,
     )
     f32 = jnp.float32
     if wgrads:
@@ -1078,13 +1167,31 @@ def _call_bwd(x, bias, g, *masks_and_weights, num_heads, scale, eps, interpret,
             pltpu.VMEM((bb * seq, hidden), x.dtype),      # attn
             pltpu.VMEM((bb * seq, hidden), x.dtype),      # dattn
             pltpu.VMEM((bb * seq, 3 * hidden), x.dtype),  # dqkv
-        ],
+        ] + (
+            [
+                pltpu.VMEM((bb * seq, inter), x.dtype),   # hg (gelu out)
+                pltpu.VMEM((bb * seq, inter), x.dtype),   # gp (gelu')
+            ]
+            if ffn_chunks > 1
+            else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops_gemm + flops_attn,
             bytes_accessed=(
                 (3 + len(masks) + 4 * bool(resids)) if wgrads else 14
             ) * batch * seq * hidden * x.dtype.itemsize,
             transcendentals=2 * batch * seq * (num_heads * seq + inter),
+        ),
+        # Long-seq shapes legitimately need >16MB of scoped VMEM (v5e has
+        # 128MB physical; XLA's default scoped limit is 16MB): at S=256 the
+        # chunked wgrads form measures ~19.2MB. Raise the per-kernel limit
+        # only when the seq demands it so S<=128 keeps the exact compiler
+        # budget the r3/r4 numbers were measured under; bwd_supports stays
+        # the admission gate against genuinely infeasible towers.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=(28 << 20))
+            if seq > 128 and not interpret
+            else None
         ),
         interpret=interpret,
     )(x, bias, g, *weights, *masks, *resids)

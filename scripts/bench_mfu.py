@@ -16,8 +16,13 @@ the measured accept/reject for a hand-written fused backward. Train steps
 chain naturally (each step consumes the previous step's params), so no
 artificial data dependency is needed.
 
-Run: python scripts/bench_mfu.py [batch]
-     python scripts/bench_mfu.py --train [batch ...]
+Run: python scripts/bench_mfu.py [batch] [--seq N]
+     python scripts/bench_mfu.py --train [batch ...] [--seq N]
+
+``--seq`` pins the sequence length (default 128). The reference's training
+recipe is seq 256 (/root/reference/configs/train.yaml:12), so the train
+table must include S=256 rows — at that shape the fully-fused backward's
+VMEM gate is the binding constraint (see bwd_supports / PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -36,6 +41,16 @@ if _repo_root not in sys.path:
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
+def _parse_seq(default: int = 128) -> int:
+    """Consume ``--seq N`` from argv (before the positional batch scan)."""
+    if "--seq" in sys.argv:
+        i = sys.argv.index("--seq")
+        val = int(sys.argv[i + 1])
+        del sys.argv[i : i + 2]
+        return val
+    return default
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -47,6 +62,7 @@ def main() -> None:
     )
 
     enable_compilation_cache()
+    seq_arg = _parse_seq()
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     R = 32
     cfg = dataclasses.replace(MINILM_L6, vocab_size=12000)
@@ -83,8 +99,8 @@ def main() -> None:
             f"({100*tf/V5E_BF16_PEAK_TFLOPS:4.1f}% of v5e bf16 peak), {B/per:7.0f} ex/s"
         )
 
-    # Fused encode at the serve seq buckets.
-    for S in (32, 64, 128):
+    # Fused encode at the serve seq buckets (+ the requested --seq).
+    for S in sorted({32, 64, 128, seq_arg}):
         ids = jnp.asarray(rng.integers(4, 11000, size=(B, S)), jnp.int32)
         mask = jnp.ones((B, S), jnp.int32)
         flops = L * (2 * B * S * (4 * h * h + 2 * h * inter) + 4 * B * S * S * h)
@@ -159,8 +175,8 @@ def train_main() -> None:
     )
 
     enable_compilation_cache()
+    S = _parse_seq()
     batches = [int(a) for a in sys.argv[2:] if a.isdigit()] or [64, 512]
-    S = 128
     R = 16
     # --mpnet: measure the mpnet-base-class tower (H=768, 12 layers) — its
     # weights exceed the fused backward's VMEM model (bwd_supports), so this
