@@ -38,6 +38,21 @@ def main() -> None:
     parser.add_argument("--seq-length", type=int, default=128)
     parser.add_argument("--learning-rate", type=float, default=2e-4)
     parser.add_argument("--seed", type=int, default=42)
+    # Context-length shaping (r5, long-context validation): deeper order
+    # histories and bigger baskets make the prepared user contexts actually
+    # fill the seq budget — at the defaults the synthetic contexts tokenize
+    # to ~100 tokens and a `max_seq_length: 256` config effectively trains
+    # at S=128 (the r4 verdict's gap).
+    parser.add_argument("--orders-per-user", type=int, nargs=2, default=(4, 9),
+                        metavar=("LO", "HI"))
+    parser.add_argument("--basket-size", type=int, nargs=2, default=(3, 10),
+                        metavar=("LO", "HI"))
+    parser.add_argument("--max-prior-orders", type=int, default=5,
+                        help="data-prep context depth (reference p5)")
+    parser.add_argument("--max-product-names", type=int, default=20,
+                        help="data-prep TOTAL product-name cap across the "
+                        "context (reference mp20); the binding bound on "
+                        "context token length for short synthetic names")
     parser.add_argument("--workdir", type=Path, default=None,
                         help="workspace dir (default: fresh temp dir)")
     parser.add_argument("--no-eval", action="store_true",
@@ -60,9 +75,15 @@ def main() -> None:
 
     t0 = time.time()
     data_dir = generate_instacart_csvs(
-        base / "data", n_users=args.users, n_products=args.products, seed=0
+        base / "data", n_users=args.users, n_products=args.products, seed=0,
+        orders_per_user=tuple(args.orders_per_user),
+        basket_size=tuple(args.basket_size),
     )
-    prep = InstacartDataPrep(data_dir=data_dir, output_dir=base / "processed", eval_frac=0.1)
+    prep = InstacartDataPrep(
+        data_dir=data_dir, output_dir=base / "processed", eval_frac=0.1,
+        max_prior_orders=args.max_prior_orders,
+        max_product_names=args.max_product_names,
+    )
     prep.prepare()
 
     cfg = TrainConfig({
