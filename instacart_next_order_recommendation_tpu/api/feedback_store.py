@@ -163,27 +163,113 @@ def record_events(events: Iterable[FeedbackEventRecord]) -> None:
         conn.close()
 
 
+class _ContextWriter:
+    """Async single-writer for request contexts (r5).
+
+    The context insert sits on the /recommend hot path; the original
+    synchronous form paid connect + INSERT + fsync'ing commit + close PER
+    REQUEST, serialized across worker threads by SQLite's file lock — a
+    direct contributor to the burst-phase latency tail (every drained
+    request queued behind its neighbors' fsyncs). Requests now enqueue and
+    return; one daemon thread drains the queue and commits each drained
+    batch in ONE transaction per DB path. Readers call ``flush()`` first
+    (load_context_events does), so read-your-writes stays intact while the
+    serve path never touches the disk.
+    """
+
+    _FLUSH = object()
+
+    def __init__(self) -> None:
+        import queue
+
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._start_lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+
+    def _ensure_thread(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            return
+        with self._start_lock:
+            if self._thread is not None and self._thread.is_alive():
+                return
+            self._thread = threading.Thread(
+                target=self._run, daemon=True, name="request-context-writer"
+            )
+            self._thread.start()
+
+    def put(self, db_path: Path, row: tuple) -> None:
+        self._ensure_thread()
+        self._q.put((str(db_path), row))
+
+    def flush(self, timeout: float = 10.0) -> None:
+        """Block until everything enqueued before this call is committed."""
+        if self._thread is None or not self._thread.is_alive():
+            return
+        done = threading.Event()
+        self._q.put((self._FLUSH, done))
+        done.wait(timeout=timeout)
+
+    def _run(self) -> None:
+        import logging
+        import queue
+
+        log = logging.getLogger(__name__)
+        while True:
+            items = [self._q.get()]  # block for the first item
+            try:
+                while True:
+                    items.append(self._q.get_nowait())
+            except queue.Empty:
+                pass
+            by_path: dict[str, list[tuple]] = {}
+            flushes: list[threading.Event] = []
+            for key, payload in items:
+                if key is self._FLUSH:
+                    flushes.append(payload)
+                else:
+                    by_path.setdefault(key, []).append(payload)
+            for path, rows in by_path.items():
+                try:
+                    conn = sqlite3.connect(path)
+                    try:
+                        conn.executemany(
+                            "INSERT OR REPLACE INTO request_contexts"
+                            " (request_id, user_id, user_context) VALUES (?, ?, ?)",
+                            rows,
+                        )
+                        conn.commit()
+                    finally:
+                        conn.close()
+                except Exception:  # noqa: BLE001 - best-effort persistence
+                    log.exception("request-context batch write failed (%d rows)", len(rows))
+            for ev in flushes:
+                ev.set()
+
+
+_context_writer = _ContextWriter()
+
+
+def flush_request_contexts(timeout: float = 10.0) -> None:
+    """Barrier for readers of ``request_contexts``: returns once every
+    context enqueued before the call is committed."""
+    _context_writer.flush(timeout)
+
+
 def record_request_context(
     request_id: str, user_context: str, user_id: Optional[str] = None
 ) -> None:
     """Persist the serving context for a request (feeds the retrain loop).
 
+    Asynchronous: enqueues to the single-writer thread and returns (the
+    serve path must not pay per-request fsyncs — see _ContextWriter).
+    Readers call ``flush_request_contexts()`` for read-your-writes.
     Opt-out via STORE_REQUEST_CONTEXTS=0 (the reference stores only a
     client-provided context hash, /root/reference/src/api/feedback_store.py:90).
     """
     if os.getenv("STORE_REQUEST_CONTEXTS", "1").strip() in ("0", "false"):
         return
     db_path = init_db()
-    conn = sqlite3.connect(db_path)
-    try:
-        conn.execute(
-            "INSERT OR REPLACE INTO request_contexts (request_id, user_id, user_context)"
-            " VALUES (?, ?, ?)",
-            (request_id, user_id, user_context),
-        )
-        conn.commit()
-    finally:
-        conn.close()
+    _context_writer.put(db_path, (request_id, user_id, user_context))
 
 
 def load_context_events(
@@ -191,6 +277,7 @@ def load_context_events(
 ) -> list[tuple[str, str, str]]:
     """(event_type, user_context, product_id) rows for retraining: feedback
     events joined to the server-side request-context store."""
+    flush_request_contexts()  # read-your-writes vs the async context writer
     conn = sqlite3.connect(db_path)
     try:
         sql = (

@@ -37,6 +37,27 @@ _DEPARTMENTS = [
     "canned goods", "breakfast", "snacks", "meat seafood",
 ]
 
+# ``long_names=True`` vocabulary: real Instacart product names run 6-10
+# words ("Organic Whole Wheat Bread with Honey & Flax, Family Size, 24 oz"),
+# which is why the reference's p5_mp20 prep genuinely fills max_seq_length
+# 256 on the real CSVs. Short two-word synthetic names cap contexts at
+# ~90 tokens no matter the basket depth, so shape rehearsals of the real
+# recipe need name geometry, not just more products per order.
+_NAME_MODIFIERS = [
+    "Gluten-Free", "Low-Fat", "Unsweetened", "Family Size", "Extra Crunchy",
+    "Non-GMO", "Grass-Fed", "Cage-Free", "Stone-Ground", "Small Batch",
+    "Reduced Sodium", "No Sugar Added", "Single Origin", "Double Churned",
+]
+_NAME_EXTRAS = [
+    "with Honey & Flax", "with Sea Salt", "in Olive Oil", "with Real Fruit",
+    "with Ancient Grains", "with Whole Berries", "in Tomato Basil Sauce",
+    "with Roasted Garlic", "with Dark Chocolate Chips", "with Almond Butter",
+]
+_NAME_UNITS = [
+    "12 oz", "1 Gallon", "6 Pack", "500 g", "2 lb Bag", "16.9 fl oz",
+    "Variety Pack of 8", "32 oz Tub", "10 ct Box", "750 ml",
+]
+
 
 def generate_instacart_csvs(
     data_dir: Path | str,
@@ -47,6 +68,7 @@ def generate_instacart_csvs(
     aisles_per_user: int = 3,
     reorder_rate: float = 0.6,
     seed: int = 0,
+    long_names: bool = False,
 ) -> Path:
     """Write synthetic CSVs to ``data_dir``; returns the dir."""
     rng = np.random.default_rng(seed)
@@ -75,8 +97,15 @@ def generate_instacart_csvs(
     for i in range(n_products):
         pool = aisle_nouns[int(product_aisle[i])]
         name = f"{rng.choice(_ADJECTIVES)} {pool[int(rng.integers(0, len(pool)))]}"
+        if long_names:
+            # Real-name geometry: base stays aisle-themed (the learnable
+            # signal), the rest matches real catalog verbosity.
+            name = (
+                f"{rng.choice(_NAME_MODIFIERS)} {name} "
+                f"{rng.choice(_NAME_EXTRAS)}, {rng.choice(_NAME_UNITS)}"
+            )
         if name in seen:
-            name = f"{name} {len(names)}"
+            name = f"{name} {len(names)}" if not long_names else f"{name} No {len(names)}"
         seen.add(name)
         names.append(name)
     aisle_to_dept = rng.integers(1, n_depts + 1, size=n_aisles + 1)

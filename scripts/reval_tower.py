@@ -53,6 +53,11 @@ def main() -> None:
                         help="data-prep TOTAL product-name cap across the "
                         "context (reference mp20); the binding bound on "
                         "context token length for short synthetic names")
+    parser.add_argument("--long-names", action="store_true",
+                        help="real-name geometry (6-10 word product names): "
+                        "the p5_mp20 context fills ~250 tokens like the "
+                        "real CSVs do, with the SAME 20-name task "
+                        "structure as the short-name flagship runs")
     parser.add_argument("--workdir", type=Path, default=None,
                         help="workspace dir (default: fresh temp dir)")
     parser.add_argument("--no-eval", action="store_true",
@@ -78,6 +83,7 @@ def main() -> None:
         base / "data", n_users=args.users, n_products=args.products, seed=0,
         orders_per_user=tuple(args.orders_per_user),
         basket_size=tuple(args.basket_size),
+        long_names=args.long_names,
     )
     prep = InstacartDataPrep(
         data_dir=data_dir, output_dir=base / "processed", eval_frac=0.1,

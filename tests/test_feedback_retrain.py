@@ -303,3 +303,29 @@ def test_resolve_skips_fb_dirs(tmp_path):
     )
     resolved, _ = resolve_processed_dir(base, base)
     assert resolved.name == "p5"
+
+
+def test_async_context_writer_batches_and_flushes(tmp_path, monkeypatch):
+    """record_request_context is async (r5: no per-request fsync on the
+    serve path); flush_request_contexts is the read barrier. Concurrent
+    writers from many threads must all land."""
+    import sqlite3
+    from concurrent.futures import ThreadPoolExecutor
+
+    from instacart_next_order_recommendation_tpu.api.feedback_store import (
+        flush_request_contexts,
+        init_db,
+        record_request_context,
+    )
+
+    monkeypatch.setenv("FEEDBACK_DB_PATH", str(tmp_path / "fb.db"))
+    db = init_db()
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(lambda i: record_request_context(f"r{i}", f"ctx {i}"), range(200)))
+    flush_request_contexts()
+    conn = sqlite3.connect(db)
+    try:
+        n = conn.execute("SELECT COUNT(*) FROM request_contexts").fetchone()[0]
+    finally:
+        conn.close()
+    assert n == 200
