@@ -293,26 +293,77 @@ def main() -> None:
     for lo in range(0, N_QUERIES, SERVE_BATCH):
         serve_batch(lo)  # pull every bucket program into this jit cache (hot)
 
-    # Worker threads overlap host tokenization and the per-round
-    # host<->device transfer latency (large on tunneled TPU setups): with T
-    # batches in flight against a ~27 ms round trip and ~3-15 ms of device
-    # work per batch, the device queue drains in ~T*7 ms, so T must exceed
-    # RTT/avg_batch_ms (~4-8) with margin to keep the chip busy. The window
-    # is short (~0.3s), so a single slow tunnel round trip can swing one
-    # pass by 20%+ — measure five passes and report the median.
-    # Measured thread sweep (r3, v5e): 8 -> 29.0k q/s (12% spread),
-    # 12 -> 29.7k (2.7%), 16 -> 30.1k (2.7%) vs 33k device ceiling.
-    n_threads = int(os.getenv("ITOR_BENCH_THREADS", "16"))
+    # Staged pipeline (r5). The r4 shape — 16 identical threads each doing
+    # tokenize+dispatch+readback — left e2e at 84% of the device ceiling,
+    # and the host budget explains why: tokenizing the 8192-query workload
+    # costs 187 ms single-thread vs 226 ms of device time, and on this
+    # 2-core host 16 threads tokenize SLOWER than 2 (212 vs 108 ms — GIL +
+    # core contention), so the chip starved while threads fought over the
+    # tokenizer. Dedicated stages instead: 2 tokenizer workers (the
+    # measured sweet spot for 2 cores) feed a bounded queue; 1 dispatcher
+    # drains it keeping batches in flight on the device (dispatch is
+    # async — the int16 id upload of batch N+1 overlaps batch N's
+    # execution natively); a small reader pool absorbs the ~28 ms
+    # per-readback tunnel latency. Work per query is identical to
+    # serve_batch above. A single slow tunnel round trip can still swing
+    # one ~0.25 s pass — measure five passes, report the median.
+    n_readers = int(os.getenv("ITOR_BENCH_THREADS", "6"))
+    n_tok = int(os.getenv("ITOR_BENCH_TOK_THREADS", "2"))
+    import queue as _queue
+
+    batch_los = list(range(0, N_QUERIES, SERVE_BATCH))
+
+    def run_pass() -> tuple[int, float]:
+        tok_q: _queue.Queue = _queue.Queue(maxsize=8)
+        disp_q: _queue.Queue = _queue.Queue()
+        results: list = [None] * len(batch_los)
+        t0 = time.time()
+
+        def tok_worker(widx: int) -> None:
+            for i in range(widx, len(batch_los), n_tok):
+                lo = batch_los[i]
+                batch = sorted_queries[lo : lo + SERVE_BATCH]
+                ids, _ = tokenizer.encode_batch(
+                    batch, max_seq_length=256, pad_batch_to=SERVE_BATCH
+                )
+                tok_q.put((i, ids, len(batch)))
+
+        def dispatcher() -> None:
+            for _ in batch_los:
+                i, ids, n_valid_rows = tok_q.get()
+                packed, k = fused.topk_device(ids, None, TOP_K)
+                disp_q.put((i, packed, k, n_valid_rows))
+            for _ in range(n_readers):
+                disp_q.put(None)
+
+        def reader() -> int:
+            served = 0
+            while True:
+                item = disp_q.get()
+                if item is None:
+                    return served
+                i, packed, k, n_valid_rows = item
+                _, idx = fused.unpack(np.asarray(packed), k)
+                results[i] = idx[:n_valid_rows]
+                served += n_valid_rows
+            return served
+
+        with ThreadPoolExecutor(n_tok + 1 + n_readers) as pex:
+            tok_jobs = [pex.submit(tok_worker, w) for w in range(n_tok)]
+            disp_job = pex.submit(dispatcher)
+            read_jobs = [pex.submit(reader) for _ in range(n_readers)]
+            n_served = sum(j.result() for j in read_jobs)
+            disp_job.result()
+            for j in tok_jobs:
+                j.result()
+        assert all(r is not None for r in results)
+        return n_served, time.time() - t0
+
     passes = []
-    with ThreadPoolExecutor(n_threads) as ex:
-        for p in range(5):
-            t0 = time.time()
-            results = list(ex.map(serve_batch, range(0, N_QUERIES, SERVE_BATCH)))
-            elapsed = time.time() - t0
-            n_served = sum(len(r) for r in results)
-            passes.append(n_served / elapsed)
-            log(f"pass {p + 1}: served {n_served} queries in {elapsed:.2f}s -> {passes[-1]:.0f} q/s")
-            del results
+    for p in range(5):
+        n_served, elapsed = run_pass()
+        passes.append(n_served / elapsed)
+        log(f"pass {p + 1}: served {n_served} queries in {elapsed:.2f}s -> {passes[-1]:.0f} q/s")
     qps = float(np.median(passes))
     spread_pct = 100.0 * (max(passes) - min(passes)) / qps
     log(f"median of {len(passes)} passes: {qps:.0f} q/s (spread {spread_pct:.1f}%)")
@@ -395,27 +446,50 @@ def main() -> None:
     )
 
     # (b) device-side latency with resident inputs (the chip's actual cost),
-    # now with enough samples for a tail.
-
+    # now with enough samples for a tail. Measured BOTH ways to attribute
+    # the tail (r4 verdict: device p99 40.3 ms vs p95 27.1 while e2e p99 was
+    # LOWER — unexplained): the two-dispatch variant (separate encode and
+    # top-k programs, as the sharded-index serve path runs) sends two RPCs
+    # through the tunnel per sample, so per-dispatch jitter hits it twice;
+    # the fused single-dispatch variant (the actual lone-request serve path)
+    # sends one. If the 2-dispatch tail spikes while the 1-dispatch tail
+    # stays at the RTT probe's tail, the spike is tunnel RPC jitter ×
+    # dispatch count, not the serve path.
     ids, _ = tokenizer.encode_batch(query_texts[:1], max_seq_length=256, pad_to=256)
     ids_d = jnp.asarray(ids.astype(encoder.wire_dtype))
+    ids_np1 = ids.astype(np.int16)
+    fused_run = fused._fn(TOP_K)
 
     def device_once():
         e = encoder._run_encode(ids_d)
         return index.topk_device(e, TOP_K)
 
+    def fused_once():
+        return fused_run(params, jnp.asarray(ids_np1), fused.catalog)
+
     jax.block_until_ready(device_once())
-    lat = []
+    jax.block_until_ready(fused_once())
+    lat, lat_fused = [], []
     for _ in range(100):
         t0 = time.time()
         jax.block_until_ready(device_once())
         lat.append(time.time() - t0)
+        t0 = time.time()
+        jax.block_until_ready(fused_once())
+        lat_fused.append(time.time() - t0)
     device_p50_ms = float(np.median(lat) * 1000)
     device_p95_ms = float(np.percentile(lat, 95) * 1000)
     device_p99_ms = float(np.percentile(lat, 99) * 1000)
+    fused_p50_ms = float(np.median(lat_fused) * 1000)
+    fused_p95_ms = float(np.percentile(lat_fused, 95) * 1000)
+    fused_p99_ms = float(np.percentile(lat_fused, 99) * 1000)
     log(
-        f"single-query device latency: p50 {device_p50_ms:.2f} ms, "
+        f"single-query device latency (2-dispatch): p50 {device_p50_ms:.2f} ms, "
         f"p95 {device_p95_ms:.2f} ms, p99 {device_p99_ms:.2f} ms"
+    )
+    log(
+        f"single-query device latency (fused 1-dispatch): p50 {fused_p50_ms:.2f} ms, "
+        f"p95 {fused_p95_ms:.2f} ms, p99 {fused_p99_ms:.2f} ms"
     )
 
     result = {
@@ -437,6 +511,12 @@ def main() -> None:
             # single-query tail is tunnel jitter, not the serve path.
             "single_query_device_p95_ms": round(device_p95_ms, 2),
             "single_query_device_p99_ms": round(device_p99_ms, 2),
+            # The serving lone-request path (fused encode+top-k, ONE
+            # dispatch) — its tail vs the 2-dispatch tail above separates
+            # per-dispatch tunnel jitter from serve-path cost.
+            "single_query_fused_p50_ms": round(fused_p50_ms, 2),
+            "single_query_fused_p95_ms": round(fused_p95_ms, 2),
+            "single_query_fused_p99_ms": round(fused_p99_ms, 2),
             "rtt_probe_p95_ms": round(rtt_p95_ms, 2),
             "rtt_probe_p99_ms": round(rtt_p99_ms, 2),
             "rtt_spike_fraction": round(rtt_spike_frac, 3),

@@ -722,21 +722,27 @@ def _bwd_kernel(
     *rest,
     bb: int, seq: int, hidden: int, num_heads: int, scale: float, eps: float,
     dropout: bool, wgrads: bool = False, resid: bool = False,
-    ffn_chunks: int = 1,
+    ffn_chunks: int = 1, pz_resident: bool = False,
 ):
     # rest (wgrads=False) = ([m1_ref, m2_ref,] dx, dqkv_out, dao, dhpre, df,
     #         attn_out, x1_out, ds1, db1ln, ds2, db2ln, qkv_scr, attn_scr,
-    #         dattn_scr, dqkv_scr [, hg_scr, gp_scr])
+    #         dattn_scr, dqkv_scr [, hg_scr, gp_scr] [, p_scr, z_scr])
     # rest (wgrads=True)  = ([m1_ref, m2_ref,] [4 resid input refs,] dx,
     #         then one grad ref per weight in the weights-tuple order, then
-    #         the four scratches [, hg_scr, gp_scr]). With resid the fwd's
-    #         saved (attn, ao, x1, f) replace the in-VMEM forward recompute
-    #         past qkv. With ffn_chunks > 1 (long-seq shapes) the FFN fwd
-    #         recompute and backward both run chunked over the intermediate
-    #         dim, staging gelu(hpre) and gelu'(hpre) in the two trailing
-    #         compute-dtype scratches so no [n, inter] f32 tensor is ever
-    #         live — the VMEM saving that lets the fully-fused form compile
-    #         at S=256 (the reference's training shape).
+    #         the four scratches [, hg_scr, gp_scr] [, p_scr, z_scr]). With
+    #         resid the fwd's saved (attn, ao, x1, f) replace the in-VMEM
+    #         forward recompute past qkv. With ffn_chunks > 1 (long-seq
+    #         shapes) the FFN fwd recompute and backward both run chunked
+    #         over the intermediate dim, staging gelu(hpre) and gelu'(hpre)
+    #         in two compute-dtype scratches so no [n, inter] f32 tensor is
+    #         ever live — the VMEM saving that lets the fully-fused form
+    #         compile at S=256 (the reference's training shape). With
+    #         pz_resident the fwd-recompute attention loop stages the
+    #         softmax probabilities and per-head denominators in two f32
+    #         scratches and the backward loop reuses them — eliminating the
+    #         second scores-GEMM + softmax pass per (example, head-group).
+    if pz_resident:
+        rest, (p_scr, z_scr) = rest[:-2], rest[-2:]
     if ffn_chunks > 1:
         rest, (hg_scr, gp_scr) = rest[:-2], rest[-2:]
     if dropout:
@@ -799,11 +805,10 @@ def _bwd_kernel(
         for i in range(hpg)
     ]
 
-    def group_tiles(rows, b, g):
-        """Shared fwd plumbing for group g of example b: returns
-        (qg, k_bd, v_bd, p_f32 [seq, hpg*skv], z [seq, 128])."""
+    def qkv_tiles(rows, g):
+        """Tile plumbing for head-group g: (qg, k_bd, v_bd) — mask/concat
+        only, no GEMMs."""
         lo = g * 128
-        bias = bias_ref[pl.ds(b, 1)].reshape(1, skv)
         qg = rows[:, lo : lo + 128]
         kg = rows[:, hidden + lo : hidden + lo + 128]
         vg = rows[:, 2 * hidden + lo : 2 * hidden + lo + 128]
@@ -811,8 +816,12 @@ def _bwd_kernel(
         if skv != seq:
             kv = jnp.concatenate([kv, jnp.zeros((skv - seq, 256), cdt)], axis=0)
         kv_bd = jnp.concatenate([kv * m for m in kv_masks], axis=0)
-        k_bd = kv_bd[:, :128]
-        v_bd = kv_bd[:, 128:]
+        return qg, kv_bd[:, :128], kv_bd[:, 128:]
+
+    def softmax_tiles(qg, k_bd, b):
+        """Scores GEMM + per-head softmax: (p_f32 [seq, hpg*skv],
+        z [seq, 128])."""
+        bias = bias_ref[pl.ds(b, 1)].reshape(1, skv)
         scores = dot_t(qg, k_bd) * scale  # [seq, hpg*skv] f32
         ps, zs = [], []
         for i in range(hpg):
@@ -825,13 +834,23 @@ def _bwd_kernel(
         z = jnp.concatenate(
             [jnp.broadcast_to(z_i, (seq, head_dim)) for z_i in zs], axis=1
         )
+        return p, z
+
+    def group_tiles(rows, b, g):
+        qg, k_bd, v_bd = qkv_tiles(rows, g)
+        p, z = softmax_tiles(qg, k_bd, b)
         return qg, k_bd, v_bd, p, z
 
     def attn_fwd_body(b, _):
         r0 = pl.multiple_of(b * seq, seq)
         rows = qkv_ref[pl.ds(r0, seq), :]
         for g in range(ngroups):
-            _, _, v_bd, p, z = group_tiles(rows, b, g)
+            qg, k_bd, v_bd = qkv_tiles(rows, g)
+            p, z = softmax_tiles(qg, k_bd, b)
+            if pz_resident:
+                pr0 = pl.multiple_of((b * ngroups + g) * seq, seq)
+                p_scr[pl.ds(pr0, seq), :] = p
+                z_scr[pl.ds(pr0, seq), :] = z
             attn_ref[pl.ds(r0, seq), g * 128 : g * 128 + 128] = (
                 dot(p.astype(cdt), v_bd) / z
             ).astype(cdt)
@@ -1014,7 +1033,15 @@ def _bwd_kernel(
         a_rows = attn_ref[pl.ds(r0, seq), :]
         for g in range(ngroups):
             lo = g * 128
-            qg, k_bd, v_bd, p, z = group_tiles(rows, b, g)
+            if pz_resident and not resid:
+                # Probabilities staged by the fwd loop: skip the second
+                # scores GEMM + softmax for this (example, group).
+                qg, k_bd, v_bd = qkv_tiles(rows, g)
+                pr0 = pl.multiple_of((b * ngroups + g) * seq, seq)
+                p = p_scr[pl.ds(pr0, seq), :]
+                z = z_scr[pl.ds(pr0, seq), :]
+            else:
+                qg, k_bd, v_bd, p, z = group_tiles(rows, b, g)
             dA = d_attn_rows[:, lo : lo + 128].astype(jnp.float32)
             A = a_rows[:, lo : lo + 128].astype(jnp.float32)
             dU = dA / z  # [seq, 128] f32
@@ -1086,6 +1113,24 @@ def _call_bwd(x, bias, g, *masks_and_weights, num_heads, scale, eps, interpret,
     # (cap ~1MB per f32 transient). S<=128 keeps chunks=1 — the exact
     # kernel the r3/r4 numbers were measured on.
     ffn_chunks = bwd_ffn_chunks(bb, seq, inter)
+    # Probs-resident attention backward (r5): the fwd-recompute loop stages
+    # the softmax probabilities + denominators in f32 scratches and the bwd
+    # loop reuses them, eliminating the second scores-GEMM + softmax per
+    # (example, head-group). Costs bb*heads/hpg*seq*(hpg*skv+128)*4 bytes of
+    # VMEM (~1 MB at MiniLM B-block/S=128), so gate on a budget and skip at
+    # long seq where the FFN chunking already runs the VMEM to its edge.
+    # ITOR_FUSED_BWD_PZ=0 opts out (A/B lever for the MFU table).
+    head_dim = hidden // num_heads
+    hpg = 128 // head_dim
+    ngroups = num_heads // hpg
+    skv = -(-seq // 128) * 128
+    pz_bytes = bb * ngroups * seq * (hpg * skv + 128) * 4
+    pz_budget_mb = int(os.getenv("ITOR_FUSED_BWD_PZ_MAXMB", "4") or 4)
+    pz_resident = (
+        _env_on("ITOR_FUSED_BWD_PZ")
+        and not resids
+        and pz_bytes <= (pz_budget_mb << 20)
+    )
 
     def const_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=ms)
@@ -1104,7 +1149,7 @@ def _call_bwd(x, bias, g, *masks_and_weights, num_heads, scale, eps, interpret,
     kernel = functools.partial(
         _bwd_kernel, bb=bb, seq=seq, hidden=hidden, num_heads=num_heads,
         scale=scale, eps=eps, dropout=bool(masks), wgrads=wgrads,
-        resid=bool(resids), ffn_chunks=ffn_chunks,
+        resid=bool(resids), ffn_chunks=ffn_chunks, pz_resident=pz_resident,
     )
     f32 = jnp.float32
     if wgrads:
@@ -1173,6 +1218,13 @@ def _call_bwd(x, bias, g, *masks_and_weights, num_heads, scale, eps, interpret,
                 pltpu.VMEM((bb * seq, inter), x.dtype),   # gp (gelu')
             ]
             if ffn_chunks > 1
+            else []
+        ) + (
+            [
+                pltpu.VMEM((bb * ngroups * seq, hpg * skv), jnp.float32),  # p
+                pltpu.VMEM((bb * ngroups * seq, 128), jnp.float32),        # z
+            ]
+            if pz_resident
             else []
         ),
         cost_estimate=pl.CostEstimate(

@@ -145,9 +145,14 @@ class TrainConfig:
             raise ValueError(
                 f"train_step_mode must be auto|gspmd|shard_map, got {self.train_step_mode!r}"
             )
-        # Layer rematerialization; auto-on for large per-device batches where
-        # stored attention probabilities would blow HBM.
-        self.remat = bool(raw.get("remat", self.train_batch_size >= 256))
+        # Layer rematerialization; None = auto (resolved per tower in
+        # _resolve_remat once the architecture is known): on for large
+        # per-device batches where stored attention probabilities would
+        # blow HBM, EXCEPT when the fused-layer backward takes the tower —
+        # its custom_vjp already stores only layer inputs (flash-style
+        # recompute), so remat would just re-run the forward kernel for
+        # nothing (measured r5: +3% step time at B=512/S=256).
+        self.remat = raw.get("remat")
 
     @classmethod
     def load(cls, config_path: Path | None = None) -> "TrainConfig":
@@ -204,6 +209,34 @@ class TwoTowerTrainer:
 
     # ------------------------------------------------------------------ model
 
+    def _resolve_remat(self, hidden: int, num_heads: int, inter: int,
+                       seq: int) -> bool:
+        """Auto remat policy (see TrainConfig.remat). Conservative: any
+        tower the fused backward can't fully take at this (geometry, seq)
+        keeps the B>=256 auto-remat — for those, XLA's saved activations
+        (incl. [B, heads, S, S] probabilities) genuinely blow HBM
+        (measured: mpnet-class at B=512 OOMs without remat)."""
+        if self.cfg.remat is not None:
+            return bool(self.cfg.remat)
+        if self.cfg.train_batch_size < 256:
+            return False
+        from instacart_next_order_recommendation_tpu.models.encoder import (
+            _fused_layer_enabled,
+        )
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        fused_bwd = (
+            _fused_layer_enabled()
+            and fused_layer._env_on("ITOR_FUSED_BWD")
+            and fused_layer.supports(hidden, num_heads, max(16, seq - seq % 16))
+            and fused_layer.bwd_supports(hidden, inter, seq, wgrads=True)
+        )
+        if fused_bwd:
+            logger.info(
+                "  remat auto-off: fused backward stores only layer inputs"
+            )
+        return not fused_bwd
+
     def _build_model(self, corpus_texts_for_vocab):
         name = self.cfg.model_name
         preset = _PRESETS.get(name)
@@ -229,11 +262,15 @@ class TwoTowerTrainer:
             )
             import dataclasses
 
+            seq_b = _bounded_seq_len(preset.max_position)
             config = dataclasses.replace(
                 preset,
                 vocab_size=tokenizer.vocab_size,
-                max_seq_length=_bounded_seq_len(preset.max_position),
-                remat=self.cfg.remat,
+                max_seq_length=seq_b,
+                remat=self._resolve_remat(
+                    preset.hidden_size, preset.num_heads,
+                    preset.intermediate_size, seq_b,
+                ),
             )
             params = init_params(config, key)
             logger.info(
@@ -245,10 +282,14 @@ class TwoTowerTrainer:
                 raise FileNotFoundError(f"warm-start dir {name} has no vocab.txt")
             import dataclasses
 
+            seq_b = _bounded_seq_len(config.max_position)
             config = dataclasses.replace(
                 config,
-                max_seq_length=_bounded_seq_len(config.max_position),
-                remat=self.cfg.remat,
+                max_seq_length=seq_b,
+                remat=self._resolve_remat(
+                    config.hidden_size, config.num_heads,
+                    config.intermediate_size, seq_b,
+                ),
             )
             logger.info("[2/5] warm start from %s", name)
         # Propagate the clamp to every downstream consumer of

@@ -189,10 +189,12 @@ def train_main() -> None:
     else:
         cfg = dataclasses.replace(MINILM_L6, vocab_size=12000)
     if ("--remat" in sys.argv) or ("--mpnet" in sys.argv and max(batches) >= 256):
-        # Mirror the trainer: layer remat auto-enables at batch >= 256
-        # (TrainConfig.remat) — without it mpnet at B>=512 exhausts HBM.
-        # (MiniLM rows keep the no-remat methodology of the r3 table;
-        # opt in with --remat.)
+        # Mirror the trainer (TrainConfig._resolve_remat): auto-remat at
+        # batch >= 256 applies to towers the fused backward can't take —
+        # mpnet at B>=512 exhausts HBM without it. MiniLM-class towers get
+        # remat auto-off since r5 (the fused backward's custom_vjp stores
+        # only layer inputs), matching this bench's no-remat default rows;
+        # opt in with --remat.
         cfg = dataclasses.replace(cfg, remat=True)
         print("layer remat: on (trainer default at B>=256)")
     h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers

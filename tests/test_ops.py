@@ -728,6 +728,32 @@ class TestFusedBackwardKernel:
                 err_msg=f"grad mismatch for {name}",
             )
 
+    @pytest.mark.parametrize("wgrads", [True, False])
+    def test_pz_resident_off_matches_oracle(self, rng, wgrads, monkeypatch):
+        """ITOR_FUSED_BWD_PZ=0 (recompute-softmax path, also what long-seq
+        shapes take when the scratch doesn't fit) must produce the same
+        grads as the default probs-resident path — both vs the oracle."""
+        from instacart_next_order_recommendation_tpu.ops import fused_layer
+
+        monkeypatch.setenv("ITOR_FUSED_BWD_PZ", "0")
+        x, mask, layer, heads = self._setup(rng, 128)
+        bias, weights = fused_layer._prep_inputs(x, mask, layer, x.dtype)
+        kwargs = dict(num_heads=heads, scale=0.176, eps=1e-12)
+        g = jnp.asarray(
+            np.random.default_rng(7).standard_normal(x.shape), jnp.float32
+        )
+        _, vjp = jax.vjp(
+            lambda x_, *w: fused_layer._oracle(x_, bias, None, None, *w, **kwargs),
+            x, *weights,
+        )
+        dx_ref, *dw_ref = vjp(g)
+        dx_k, dw_k = fused_layer._fused_backward(
+            x, bias, (), weights, g, **kwargs, interpret=True, wgrads=wgrads
+        )
+        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_ref), atol=3e-4)
+        for a, b in zip(dw_k, dw_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
     def test_custom_vjp_path_with_env_flag(self, rng, monkeypatch):
         """ITOR_FUSED_BWD=1 routes fused_encoder_layer_train's backward
         through the kernel; grads must match the recompute path end to end
