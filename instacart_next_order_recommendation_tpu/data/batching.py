@@ -22,31 +22,59 @@ def no_duplicates_batches(
     seed: int,
     epoch: int = 0,
 ) -> Iterator[np.ndarray]:
-    """Yield index arrays of exactly ``batch_size`` (drop_last semantics)."""
+    """Yield index arrays of exactly ``batch_size`` (drop_last semantics).
+
+    Implementation note (r5): the original formulation kept one combined
+    ``remaining`` list and rebuilt it per batch (``deferred +
+    remaining[cut:]``) — an O(N) list copy PER BATCH, i.e. O(N²/B) per
+    epoch. Invisible at 162k pairs / B=512 (r4 flagship), it dominated the
+    whole train step at reference scale (1.08M pairs / B=64: ~310 ms of
+    host time per 32 ms device step, measured during the r5 rehearsal).
+    This version scans a fixed permutation through a pointer with a small
+    ``carry`` list holding only deferred duplicates — O(N) per epoch — and
+    yields the IDENTICAL batch sequence (asserted against the original
+    algorithm in tests/test_training.py).
+    """
     rng = np.random.default_rng(seed + epoch)
-    remaining: list[int] = list(rng.permutation(len(anchors)))
-    while len(remaining) >= batch_size:
+    order = rng.permutation(len(anchors)).tolist()
+    carry: list[int] = []  # deferred duplicates, retried first next batch
+    pos = 0
+    n = len(order)
+    while len(carry) + (n - pos) >= batch_size:
         batch: list[int] = []
         seen: set[str] = set()
-        deferred: list[int] = []
-        cut = len(remaining)
-        for pos, i in enumerate(remaining):
+        new_carry: list[int] = []
+        filled = False
+        # Scan order matches the original list-concat formulation exactly:
+        # previous batches' deferred duplicates first, then the unconsumed
+        # tail of the permutation.
+        ci = 0
+        while ci < len(carry) and not filled:
+            i = carry[ci]
+            ci += 1
             a, p = anchors[i], positives[i]
             if a in seen or p in seen:
-                deferred.append(i)
+                new_carry.append(i)
                 continue
             batch.append(i)
             seen.add(a)
             seen.add(p)
-            if len(batch) == batch_size:
-                cut = pos + 1
-                break
-        if len(batch) < batch_size:
+            filled = len(batch) == batch_size
+        while pos < n and not filled:
+            i = order[pos]
+            pos += 1
+            a, p = anchors[i], positives[i]
+            if a in seen or p in seen:
+                new_carry.append(i)
+                continue
+            batch.append(i)
+            seen.add(a)
+            seen.add(p)
+            filled = len(batch) == batch_size
+        if not filled:
             # Remaining samples cannot fill a clean batch; drop them.
             return
-        # Deferred duplicates retry at the front of the next batch's scan;
-        # each batch scans only what it consumed (O(n) per epoch overall).
-        remaining = deferred + remaining[cut:]
+        carry = new_carry + carry[ci:]
         yield np.asarray(batch)
 
 

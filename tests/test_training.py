@@ -43,6 +43,44 @@ class TestNoDuplicatesSampler:
         b1 = np.concatenate(list(no_duplicates_batches(anchors, positives, 4, 0, epoch=1)))
         assert not np.array_equal(b0, b1)
 
+    def test_matches_original_list_concat_algorithm(self):
+        """The r5 pointer+carry rewrite (O(N) per epoch instead of O(N²/B)
+        list copies) must yield the IDENTICAL batch sequence as the original
+        formulation — training trajectories are seed-pinned."""
+
+        def original(anchors, positives, batch_size, seed, epoch=0):
+            rng = np.random.default_rng(seed + epoch)
+            remaining = list(rng.permutation(len(anchors)))
+            while len(remaining) >= batch_size:
+                batch, seen, deferred = [], set(), []
+                cut = len(remaining)
+                for pos, i in enumerate(remaining):
+                    a, p = anchors[i], positives[i]
+                    if a in seen or p in seen:
+                        deferred.append(i)
+                        continue
+                    batch.append(i)
+                    seen.add(a)
+                    seen.add(p)
+                    if len(batch) == batch_size:
+                        cut = pos + 1
+                        break
+                if len(batch) < batch_size:
+                    return
+                remaining = deferred + remaining[cut:]
+                yield np.asarray(batch)
+
+        rng = np.random.default_rng(5)
+        # Heavy duplication (mod-k texts) exercises the carry path hard.
+        for n, bs, amod, pmod in ((300, 16, 9, 23), (257, 8, 5, 257), (64, 64, 64, 64)):
+            anchors = [f"a{int(rng.integers(amod))}" for _ in range(n)]
+            positives = [f"p{int(rng.integers(pmod))}" for _ in range(n)]
+            got = list(no_duplicates_batches(anchors, positives, bs, seed=1, epoch=2))
+            want = list(original(anchors, positives, bs, seed=1, epoch=2))
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
