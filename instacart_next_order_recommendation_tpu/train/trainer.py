@@ -719,7 +719,7 @@ class TwoTowerTrainer:
 
         col = np.arange(self.seq_len)[None, :]
 
-        def assemble(idx: np.ndarray):
+        def assemble_np(idx: np.ndarray) -> list[np.ndarray]:
             # Vectorized: two fancy-indexes + two broadcast compares per
             # batch (the padded matrices were built once at tokenize time).
             out = []
@@ -730,7 +730,23 @@ class TwoTowerTrainer:
                     ids_all[idx],
                     (col < len_all[idx][:, None]).astype(np.int32),
                 ]
-            return tuple(jnp.asarray(x) for x in out)
+            return out
+
+        def assemble(idx: np.ndarray):
+            return tuple(jnp.asarray(x) for x in assemble_np(idx))
+
+        def assemble_group(group: list[np.ndarray]):
+            # ONE host-side stack + ONE transfer per tensor. The obvious
+            # formulation — assemble each micro-batch to device, then
+            # jnp.stack — costs 4*n_scan small device_put RPCs plus 4
+            # device stacks per dispatch; through the RPC tunnel that
+            # measured 554 ms/dispatch vs 3.3 ms for this form (170x) and
+            # silently host-bounded reference-scale training (B=64,
+            # 1.08M pairs: 3.2 steps/s with the chip mostly idle).
+            parts = [assemble_np(idx) for idx in group]
+            return tuple(
+                jnp.asarray(np.stack([p[j] for p in parts])) for j in range(4)
+            )
 
         profile_dir = os.getenv("ITOR_PROFILE_DIR")
         profiling = False
@@ -762,10 +778,7 @@ class TwoTowerTrainer:
                 if n_scan == 1:
                     batch = assemble(group[0])
                 else:
-                    parts = [assemble(idx) for idx in group]
-                    batch = tuple(
-                        jnp.stack([p[j] for p in parts]) for j in range(4)
-                    )
+                    batch = assemble_group(group)
                 step_key = jax.random.fold_in(base_key, global_step)
                 params, opt_state, loss = train_step(params, opt_state, batch, step_key)
                 global_step += n_scan
