@@ -192,7 +192,9 @@ class TwoTowerTrainer:
         self.eval_pairs = None
         if (processed_dir / EVAL_DATASET_SUBDIR).exists():
             eval_ds = load_from_disk(str(processed_dir / EVAL_DATASET_SUBDIR))
-            self.eval_pairs = (eval_ds["anchor"], eval_ds["positive"])
+            # list(): bulk-decode the lazy Arrow Columns (see the anchors
+            # materialization note in train()).
+            self.eval_pairs = (list(eval_ds["anchor"]), list(eval_ds["positive"]))
         with open(processed_dir / EVAL_QUERIES_FILENAME) as f:
             eval_queries = json.load(f)
         with open(processed_dir / EVAL_CORPUS_FILENAME) as f:
@@ -505,8 +507,14 @@ class TwoTowerTrainer:
             cfg.output_dir.mkdir(parents=True, exist_ok=True)
 
         train_ds, eval_queries, eval_corpus, eval_relevant = self._load_processed()
-        anchors: list[str] = train_ds["anchor"]
-        positives: list[str] = train_ds["positive"]
+        # Materialize the columns ONCE: datasets>=5 returns a lazy Arrow
+        # Column whose per-item __getitem__ pays an Arrow fetch — the
+        # no-duplicates sampler touches ~2 items per scanned sample per
+        # batch, which at reference scale (1.08M pairs, B=64) measured
+        # ~2 s of host time per 8-step dispatch (ITOR_LOOP_TIMING) while
+        # the chip idled. list() is one bulk decode.
+        anchors: list[str] = list(train_ds["anchor"])
+        positives: list[str] = list(train_ds["positive"])
 
         self._log_params()
         vocab_texts = list(eval_corpus.values()) + anchors[:50_000]
@@ -750,6 +758,13 @@ class TwoTowerTrainer:
 
         profile_dir = os.getenv("ITOR_PROFILE_DIR")
         profiling = False
+        # ITOR_LOOP_TIMING=1: log per-dispatch host-phase means every 25
+        # dispatches (assemble/transfer, key fold, step submission, wall) —
+        # the instrument that caught the r5 host-bound loop at reference
+        # scale. Near-zero overhead when off.
+        loop_timing = (os.getenv("ITOR_LOOP_TIMING", "") or "").strip() in ("1", "true")
+        lt_acc = [0.0, 0.0, 0.0, 0.0, 0]
+        lt_last = [0.0]
 
         import itertools
 
@@ -775,13 +790,31 @@ class TwoTowerTrainer:
                         jax.block_until_ready(params)
                         jax.profiler.stop_trace()
                         profiling = False
+                t_a = time.perf_counter() if loop_timing else 0.0
                 if n_scan == 1:
                     batch = assemble(group[0])
                 else:
                     batch = assemble_group(group)
+                t_b = time.perf_counter() if loop_timing else 0.0
                 step_key = jax.random.fold_in(base_key, global_step)
+                t_c = time.perf_counter() if loop_timing else 0.0
                 params, opt_state, loss = train_step(params, opt_state, batch, step_key)
                 global_step += n_scan
+                if loop_timing:
+                    t_d = time.perf_counter()
+                    lt_acc[0] += t_b - t_a  # assemble + transfers
+                    lt_acc[1] += t_c - t_b  # fold_in
+                    lt_acc[2] += t_d - t_c  # train_step submission
+                    lt_acc[3] += t_d - lt_last[0] if lt_last[0] else 0.0
+                    lt_last[0] = t_d
+                    lt_acc[4] += 1
+                    if lt_acc[4] >= 25:
+                        logger.info(
+                            "  loop timing/dispatch: assemble %.0f ms, fold_in"
+                            " %.0f ms, submit %.0f ms, wall %.0f ms",
+                            *(1e3 * lt_acc[j] / lt_acc[4] for j in range(4)),
+                        )
+                        lt_acc[:] = [0.0, 0.0, 0.0, 0.0, 0]
                 # Keep every step's loss ON DEVICE (scalars); the epoch mean
                 # below is one stacked reduction + one transfer. Pulling each
                 # loss to host would add a round trip per step, and sampling
