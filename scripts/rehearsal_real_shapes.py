@@ -98,11 +98,26 @@ def main() -> int:
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     total_min = (time.time() - t0) / 60
     print(f"rehearsal total: {total_min:.1f} min, peak host RSS {peak_gb:.1f} GB")
-    # Append the resource footprint to the report the runbook just wrote.
+    # Banner + resource footprint around the report the runbook just wrote:
+    # the runbook's template is titled for the real-data parity day, and a
+    # rehearsal's quality columns must not read as that claim.
     results = Path("REHEARSAL_RESULTS.md")
     if rc == 0 and results.exists():
-        results.open("a").write(
-            f"\n## Rehearsal resource footprint\n\n"
+        banner = (
+            "> **SHAPE REHEARSAL, NOT REAL DATA.** Synthetic long-name CSVs"
+            " + a random-weight all-MiniLM-L6-v2-architecture checkpoint"
+            " through the unmodified `make real-data` recipe"
+            " (scripts/rehearsal_real_shapes.py). Quality columns are NOT"
+            " comparable to the reference's pretrained warm start; the"
+            " deliverables are runbook completion at reference scale,"
+            " per-stage wall clocks, and the memory envelope.\n\n"
+        )
+        body = results.read_text()
+        if not body.startswith("> **SHAPE REHEARSAL"):
+            body = banner + body
+        results.write_text(
+            body
+            + f"\n## Rehearsal resource footprint\n\n"
             f"- total wall clock: {total_min:.1f} min (incl. data generation)\n"
             f"- peak host RSS: {peak_gb:.1f} GB\n"
             f"- scale: {args.users} users, {args.products} products, "
