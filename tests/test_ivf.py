@@ -160,6 +160,39 @@ def test_balanced_assign_leftovers_land_in_free_slots():
     assert len(np.unique(assign)) == 4  # all rows placed, caps respected
 
 
+def test_real_geometry_embeddings_wiring(tmp_path_factory):
+    """`bench_ivf.py --real-geometry` helper: catalog = tower-encoded corpus,
+    queries = tower-encoded eval queries from the adjacent eval_queries.json
+    (falling back to a catalog slice when absent)."""
+    import json
+
+    from scripts.bench_ivf import real_geometry_embeddings
+    from tests.helpers import make_corpus, make_tiny_model_dir, write_corpus_json
+
+    base = tmp_path_factory.mktemp("realgeom")
+    corpus = make_corpus(40)
+    model_dir = make_tiny_model_dir(base, corpus)
+    corpus_path = write_corpus_json(base, corpus)
+
+    # No eval_queries.json yet: queries fall back to a strided catalog slice.
+    catalog, queries = real_geometry_embeddings(str(model_dir), str(corpus_path))
+    assert catalog.shape == (40, 32) and len(queries) > 0
+    np.testing.assert_allclose(
+        np.linalg.norm(catalog, axis=1), 1.0, atol=1e-3
+    )  # tower output is L2-normalized
+
+    (corpus_path.parent / "eval_queries.json").write_text(
+        json.dumps({str(i): f"bought organic milk and bread {i}" for i in range(6)})
+    )
+    catalog2, queries2 = real_geometry_embeddings(str(model_dir), str(corpus_path))
+    assert queries2.shape == (6, 32)
+    np.testing.assert_allclose(catalog2, catalog, atol=1e-5)
+    # The encoded geometry drives a working IVF index end-to-end.
+    ivf = IVFCatalogIndex(catalog2, nlist=4, nprobe=4, kmeans_iters=2)
+    _, ids = ivf.topk(queries2, 5)
+    assert ids.shape == (6, 5)
+
+
 def test_memmap_build_matches_in_ram(tmp_path):
     """A disk-memmapped embedding matrix must build an identical index to the
     in-RAM build (the streaming k-means/bucket-fill path only changes WHERE
