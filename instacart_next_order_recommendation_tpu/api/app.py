@@ -19,7 +19,10 @@ from uuid import uuid4
 from prometheus_client import CONTENT_TYPE_LATEST, generate_latest
 
 from instacart_next_order_recommendation_tpu.api.http import App, Request, Response
-from instacart_next_order_recommendation_tpu.api.feedback_store import init_db
+from instacart_next_order_recommendation_tpu.api.feedback_store import (
+    flush_request_contexts,
+    init_db,
+)
 from instacart_next_order_recommendation_tpu.api.limiter import RateLimiter
 from instacart_next_order_recommendation_tpu.api.metrics import API_REGISTRY, MODEL_LOADED
 from instacart_next_order_recommendation_tpu.api.routes import corpus, feedback, model, recommend
@@ -153,6 +156,10 @@ def create_app(
 
     def shutdown(app: App) -> None:
         MODEL_LOADED.set(0)
+        # Drain the async request-context writer while the DB still exists:
+        # contexts enqueued by in-flight /recommend requests must not be
+        # dropped (or hit a torn-down DB path) on graceful shutdown.
+        flush_request_contexts()
         logger.info("Shutting down recommendation API service")
 
     app.on_startup.append(startup)

@@ -290,6 +290,33 @@ class TestMetricsEndpoint:
         assert 'recommendation_requests_total{status="error"}' in after
 
 
+class TestShutdownFlush:
+    def test_shutdown_drains_request_context_writer(self, tmp_path, monkeypatch):
+        """Graceful shutdown commits queued request contexts BEFORE teardown:
+        rows enqueued by the async writer must be readable right after the
+        app context exits, without the reader calling the flush barrier
+        (regression: the r5 dryrun hit 'disk I/O error' when the writer
+        drained after the app's DB dir was deleted)."""
+        import sqlite3
+
+        db = tmp_path / "f.db"
+        monkeypatch.setenv("FEEDBACK_DB_PATH", str(db))
+        app = create_app(
+            model_dir=tmp_path,
+            corpus_path=tmp_path / "c.json",
+            recommender_factory=make_mock_recommender,
+        )
+        with TestClient(app) as c:
+            r = c.post("/recommend", json={"user_context": "milk and bread"})
+            assert r.status_code == 200
+        conn = sqlite3.connect(db)
+        try:
+            n = conn.execute("SELECT COUNT(*) FROM request_contexts").fetchone()[0]
+        finally:
+            conn.close()
+        assert n == 1
+
+
 class TestRateLimit:
     def test_429_after_limit(self, tmp_path, monkeypatch):
         monkeypatch.setenv("FEEDBACK_DB_PATH", str(tmp_path / "f.db"))
