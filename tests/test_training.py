@@ -384,5 +384,48 @@ def test_shipped_large_batch_recipe_parses():
     assert cfg.train_batch_size == 512
     assert cfg.learning_rate == pytest.approx(3e-4)
     assert cfg.loss_scale == 30.0
-    assert cfg.remat  # B>=256 requires layer rematerialization
+    # remat must stay UNSET so _resolve_remat's auto policy applies: the
+    # validated flagship runs (docs/VALIDATION.md r5) trained with remat
+    # auto-OFF (the fused backward stores only layer inputs); a literal
+    # `remat: true` here would force +3% step time back on.
+    assert cfg.remat is None
     assert cfg.epochs == 8  # longer cosine horizon peaks higher (0.4133 E4)
+
+
+def test_resolve_remat_policy(monkeypatch, tmp_path):
+    """_resolve_remat: explicit config wins; small batches never remat; at
+    B>=256 remat engages only when the fused backward can NOT take the
+    tower (docs/VALIDATION.md r5, ROADMAP item 1)."""
+    from types import SimpleNamespace
+
+    from instacart_next_order_recommendation_tpu import ops as ops_pkg
+    from instacart_next_order_recommendation_tpu.train.trainer import TwoTowerTrainer
+
+    minilm = (384, 12, 1536)  # hidden, heads, inter — fused-bwd-supported
+
+    def resolve(batch, remat=None, shape=minilm, seq=128):
+        stub = SimpleNamespace(cfg=SimpleNamespace(remat=remat, train_batch_size=batch))
+        return TwoTowerTrainer._resolve_remat(stub, *shape, seq)
+
+    # Explicit setting always wins.
+    assert resolve(512, remat=True) is True
+    assert resolve(512, remat=False) is False
+    # Small batches never remat.
+    assert resolve(64) is False
+    # On this CPU test backend Pallas is off -> fused backward unavailable
+    # -> the conservative B>=256 auto-remat stands.
+    monkeypatch.delenv("ITOR_FORCE_PALLAS", raising=False)
+    ops_pkg.use_pallas.cache_clear()
+    try:
+        assert resolve(512) is True
+        # With the kernels force-enabled the fused backward takes the
+        # MiniLM tower at S=128 and auto resolves to NO remat.
+        monkeypatch.setenv("ITOR_FORCE_PALLAS", "1")
+        ops_pkg.use_pallas.cache_clear()
+        assert resolve(512) is False
+        # A tower the fused backward cannot fully take keeps remat on
+        # even with kernels enabled (non-128-aligned hidden size).
+        assert resolve(512, shape=(300, 12, 1200)) is True
+    finally:
+        monkeypatch.delenv("ITOR_FORCE_PALLAS", raising=False)
+        ops_pkg.use_pallas.cache_clear()
