@@ -189,7 +189,7 @@ def train_main() -> None:
     else:
         cfg = dataclasses.replace(MINILM_L6, vocab_size=12000)
     if ("--remat" in sys.argv) or ("--mpnet" in sys.argv and max(batches) >= 256):
-        # Mirror the trainer (TrainConfig._resolve_remat): auto-remat at
+        # Mirror the trainer (TwoTowerTrainer._resolve_remat): auto-remat at
         # batch >= 256 applies to towers the fused backward can't take —
         # mpnet at B>=512 exhausts HBM without it. MiniLM-class towers get
         # remat auto-off since r5 (the fused backward's custom_vjp stores
